@@ -1,0 +1,167 @@
+"""Functional NN building blocks over explicit parameter pytrees.
+
+Design notes (TPU-first):
+  * Parameters are plain nested dicts of jnp arrays -> trivial to shard with
+    jax.sharding (named rules match dict paths), to convert from torch
+    state_dicts, and to checkpoint as a pytree.
+  * Linear weights are stored (in_dim, out_dim) so `x @ w` maps straight onto
+    the MXU with no transpose (torch stores (out, in); converters transpose).
+  * Convolutions use NHWC activations and HWIO kernels - the layouts XLA:TPU
+    tiles best.
+  * Norms compute in fp32 regardless of activation dtype and cast back.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# init helpers
+# ---------------------------------------------------------------------------
+
+def _uniform(key, shape, bound, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype=dtype, minval=-bound, maxval=bound)
+
+
+def linear_init(key, in_dim: int, out_dim: int, bias: bool = True,
+                dtype=jnp.float32):
+    """Kaiming-uniform fan_in init (matches torch.nn.Linear defaults)."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    p = {"w": _uniform(kw, (in_dim, out_dim), bound, dtype)}
+    if bias:
+        p["b"] = _uniform(kb, (out_dim,), bound, dtype)
+    return p
+
+
+def linear(p, x):
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def layer_norm_init(dim: int, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(p, x, eps: float = 1e-5):
+    orig = x.dtype
+    x = x.astype(jnp.float32)
+    mean = x.mean(-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(orig)
+
+
+def embedding_init(key, num: int, dim: int, dtype=jnp.float32, std: float = 0.02):
+    return {"weight": jax.random.normal(key, (num, dim), dtype) * std}
+
+
+def group_norm_init(channels: int, dtype=jnp.float32):
+    return {"scale": jnp.ones((channels,), dtype), "bias": jnp.zeros((channels,), dtype)}
+
+
+def group_norm(p, x, num_groups: int = 32, eps: float = 1e-6):
+    """GroupNorm over NHWC activations."""
+    orig = x.dtype
+    n, h, w, c = x.shape
+    g = num_groups
+    xf = x.astype(jnp.float32).reshape(n, h, w, g, c // g)
+    mean = xf.mean(axis=(1, 2, 4), keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(n, h, w, c)
+    xf = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return xf.astype(orig)
+
+
+def conv2d_init(key, in_ch: int, out_ch: int, kernel: int, bias: bool = True,
+                dtype=jnp.float32):
+    """HWIO kernel layout; torch Conv2d default init (kaiming-uniform fan_in)."""
+    kw, kb = jax.random.split(key)
+    fan_in = in_ch * kernel * kernel
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {"w": _uniform(kw, (kernel, kernel, in_ch, out_ch), bound, dtype)}
+    if bias:
+        p["b"] = _uniform(kb, (out_ch,), bound, dtype)
+    return p
+
+
+def conv2d(p, x, stride: int = 1, padding="SAME"):
+    """NHWC conv. `padding` may be 'SAME', 'VALID', or an int."""
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# multi-head attention parameter bundles
+# ---------------------------------------------------------------------------
+
+def mha_init(key, dim: int, num_heads: int, bias: bool = True,
+             kv_dim: Optional[int] = None, out_bias: bool = True,
+             dtype=jnp.float32):
+    """Separate q/k/v/out projections (packed torch in_proj gets split by the
+    converter)."""
+    kv_dim = kv_dim or dim
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "q": linear_init(kq, dim, dim, bias, dtype),
+        "k": linear_init(kk, kv_dim, dim, bias, dtype),
+        "v": linear_init(kv, kv_dim, dim, bias, dtype),
+        "o": linear_init(ko, dim, dim, out_bias, dtype),
+    }
+
+
+def mha_apply(p, x, context=None, *, num_heads: int, causal: bool = False,
+              attn_fn=None):
+    """Standard MHA: projections here, the attention core in ops.attention.
+
+    x: (B, T, D); context: (B, S, Dkv) or None for self-attention.
+    """
+    from gill_tpu.ops.attention import dot_product_attention
+
+    ctx = x if context is None else context
+    b, t, d = x.shape
+    s = ctx.shape[1]
+    hd = d // num_heads
+    q = linear(p["q"], x).reshape(b, t, num_heads, hd)
+    k = linear(p["k"], ctx).reshape(b, s, num_heads, hd)
+    v = linear(p["v"], ctx).reshape(b, s, num_heads, hd)
+    fn = attn_fn or dot_product_attention
+    o = fn(q, k, v, causal=causal)
+    return linear(p["o"], o.reshape(b, t, d))
+
+
+# ---------------------------------------------------------------------------
+# pytree utilities
+# ---------------------------------------------------------------------------
+
+def param_count(tree) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
+
+
+def tree_size_bytes(tree) -> int:
+    return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(tree))
+
+
+def cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
+    )

@@ -1,0 +1,203 @@
+"""Attention cores: Pallas TPU flash-attention + XLA reference path.
+
+The reference relies on torch SDPA inside HF OPT/CLIP and the SD UNet
+(all CUDA kernels). Here the hot path is a Pallas online-softmax kernel that
+keeps the (T, S) score matrix out of HBM; everything falls back to a fused
+XLA einsum path on CPU, for tiny shapes, or for single-token decode where
+flash has no advantage.
+
+Layouts: q (B, T, H, D), k/v (B, S, H, D) -> out (B, T, H, D).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# XLA reference path
+# ---------------------------------------------------------------------------
+
+def _xla_attention(q, k, v, *, causal: bool, bias=None, scale: float):
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    logits = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if causal:
+        # Query i attends to keys j <= i + (s - t): supports cached decode
+        # where queries are the suffix of the key sequence.
+        qi = jax.lax.broadcasted_iota(jnp.int32, (t, s), 0)
+        kj = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
+        mask = kj <= qi + (s - t)
+        logits = jnp.where(mask[None, None], logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bshd->bthd", probs, v)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
+                  block_k: int, seq_k: int, kv_offset: int):
+    """One (batch*head, q-block) program: online softmax over k blocks.
+
+    q_ref: (block_q, d); k_ref/v_ref: (seq_k, d); o_ref: (block_q, d).
+    kv_offset = seq_k - seq_q (for cached decode causal alignment).
+    """
+    block_q, d = q_ref.shape
+    qi = pl.program_id(1)
+
+    q = q_ref[:].astype(jnp.float32) * scale
+
+    m = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+    l = jnp.zeros((block_q, 1), jnp.float32)
+    acc = jnp.zeros((block_q, d), jnp.float32)
+
+    num_kb = seq_k // block_k
+
+    def body(kb, carry):
+        m, l, acc = carry
+        k_blk = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s_blk = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, block_k)
+        if causal:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0) + kv_offset
+            k_pos = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s_blk = jnp.where(k_pos <= q_pos, s_blk, _NEG_INF)
+        m_new = jnp.maximum(m, s_blk.max(axis=-1, keepdims=True))
+        p = jnp.exp(s_blk - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + p.sum(axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc_new
+
+    if causal:
+        # Skip key blocks strictly above the diagonal of this q block.
+        last_q_pos = qi * block_q + block_q - 1 + kv_offset
+        num_kb_needed = jnp.minimum(num_kb, last_q_pos // block_k + 1)
+    else:
+        num_kb_needed = num_kb
+    m, l, acc = jax.lax.fori_loop(0, num_kb_needed, body, (m, l, acc))
+    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _pad_to(x, size: int, axis: int):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k"))
+def flash_attention(q, k, v, *, causal: bool = False,
+                    block_q: int = 256, block_k: int = 256):
+    """Pallas flash attention. q (B,T,H,D), k/v (B,S,H,D) -> (B,T,H,D)."""
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+
+    # Pad head_dim to the 128-lane register width, and sequences to block
+    # multiples. Zero-padded keys produce logits of 0*scale; they are masked
+    # out implicitly for causal (positions beyond s-1 never satisfy the
+    # causal predicate only when t==s), so we mask explicitly by padding keys
+    # and giving padded keys -inf via an s-padding trick: pad k with zeros
+    # and rely on causal masking OR pad q only. For the non-causal case we
+    # require s % block_k == 0 after choosing block_k that divides s.
+    d_pad = max(128, ((d + 127) // 128) * 128)
+    block_q = min(block_q, max(8, ((t + 7) // 8) * 8))
+    block_k = min(block_k, s)
+    t_pad = ((t + block_q - 1) // block_q) * block_q
+    s_pad = ((s + block_k - 1) // block_k) * block_k
+
+    qp = _pad_to(_pad_to(q, t_pad, 1), d_pad, 3)
+    kp = _pad_to(_pad_to(k, s_pad, 1), d_pad, 3)
+    vp = _pad_to(_pad_to(v, s_pad, 1), d_pad, 3)
+
+    if s_pad != s:
+        # Mask padded keys by pushing their dot products to -inf: set the
+        # padded key vectors to a large negative constant in one dim won't
+        # work for arbitrary q sign, so instead mask via the causal predicate
+        # when available, else fall back to XLA.
+        if not causal or s_pad - s >= block_k:
+            return _xla_attention(q, k, v, causal=causal, bias=None, scale=scale)
+
+    # (B,T,H,D) -> (B*H, T, D)
+    def to_bh(x):
+        bb, tt, hh, dd = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(bb * hh, tt, dd)
+
+    qb, kb_, vb = to_bh(qp), to_bh(kp), to_bh(vp)
+
+    grid = (b * h, t_pad // block_q)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, causal=causal, block_k=block_k,
+        seq_k=s_pad, kv_offset=s - t,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d_pad), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((None, s_pad, d_pad), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((None, s_pad, d_pad), lambda bh, i: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d_pad), lambda bh, i: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d_pad), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(qb, kb_, vb)
+
+    out = out.reshape(b, h, t_pad, d_pad).transpose(0, 2, 1, 3)
+    return out[:, :t, :, :d]
+
+
+# ---------------------------------------------------------------------------
+# dispatcher
+# ---------------------------------------------------------------------------
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def dot_product_attention(q, k, v, *, causal: bool = False,
+                          bias: Optional[jax.Array] = None,
+                          impl: str = "auto"):
+    """Attention core. q (B,T,H,D), k/v (B,S,H,D) -> (B,T,H,D).
+
+    impl: 'auto' | 'xla' | 'flash'. 'auto' uses the Pallas kernel on TPU for
+    multi-token queries with no additive bias; the XLA path otherwise
+    (CPU tests, single-token decode, biased attention).
+    """
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    use_flash = (
+        impl == "flash"
+        or (impl == "auto" and _on_tpu() and bias is None and q.shape[1] > 1)
+    )
+    if use_flash:
+        return flash_attention(q, k, v, causal=causal)
+    return _xla_attention(q, k, v, causal=causal, bias=bias, scale=scale)

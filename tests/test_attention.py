@@ -1,0 +1,48 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gill_tpu.ops.attention import _xla_attention, dot_product_attention, flash_attention
+
+
+def _ref(q, k, v, causal):
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    logits = np.einsum("bthd,bshd->bhts", q, k) / np.sqrt(d)
+    if causal:
+        qi = np.arange(t)[:, None]
+        kj = np.arange(s)[None, :]
+        logits = np.where(kj <= qi + (s - t), logits, -1e30)
+    probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+    return np.einsum("bhts,bshd->bthd", np.asarray(probs), v)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("t,s", [(16, 16), (8, 24)])
+def test_xla_attention_matches_ref(causal, t, s):
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, t, 4, 32))
+    k = jax.random.normal(kk, (2, s, 4, 32))
+    v = jax.random.normal(kv, (2, s, 4, 32))
+    out = dot_product_attention(q, k, v, causal=causal, impl="xla")
+    ref = _ref(np.asarray(q), np.asarray(k), np.asarray(v), causal)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("t,d", [(128, 64), (256, 128), (96, 40)])
+def test_flash_matches_xla_interpret(causal, t, d):
+    """Pallas kernel in interpret mode (CPU) vs the XLA path."""
+    key = jax.random.PRNGKey(1)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, t, 2, d))
+    k = jax.random.normal(kk, (1, t, 2, d))
+    v = jax.random.normal(kv, (1, t, 2, d))
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, causal=causal, block_q=64, block_k=64)
+    ref = dot_product_attention(q, k, v, causal=causal, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)

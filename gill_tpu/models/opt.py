@@ -1,0 +1,232 @@
+"""OPT decoder (frozen LM backbone) as a functional JAX model.
+
+Feature-parity target: HF `OPTForCausalLM` as used by the reference
+(gill/models.py:56-73) — `inputs_embeds` entry point, per-layer hidden-state
+taps, tied lm_head, resizable embedding table for the 9 added tokens, and a
+loss that masks -100 labels. TPU-first design choices:
+
+  * layer weights are stacked along a leading L axis and the decoder body is
+    a `lax.scan` over layers (one compilation of one layer; no 32x unrolled
+    HLO),
+  * decoding uses a preallocated KV cache updated with dynamic slices inside
+    the scan (the reference re-forwards the whole prefix per token with
+    `use_cache=False`, gill/models.py:465 — its #1 perf bug),
+  * attention runs the Pallas flash kernel on TPU (ops/attention.py),
+  * like the reference, no padding attention mask is applied in training
+    forward passes (HF is called without attention_mask, so padding tokens
+    attend normally and positions are `arange + 2`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gill_tpu.config import OPTConfig
+from gill_tpu.nn import core as nn
+from gill_tpu.ops.attention import dot_product_attention
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init(key, cfg: OPTConfig, dtype=jnp.float32):
+    """Random-init parameter pytree (used for tests; real weights come from
+    weights/convert.py)."""
+    n = cfg.num_layers
+    keys = jax.random.split(key, 8)
+
+    def stack(fn, k):
+        ks = jax.random.split(k, n)
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[fn(kk) for kk in ks])
+
+    d, f = cfg.hidden_size, cfg.ffn_dim
+    layers = {
+        "attn": stack(lambda k: nn.mha_init(k, d, cfg.num_heads, dtype=dtype), keys[0]),
+        "attn_ln": jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * n), nn.layer_norm_init(d, dtype)),
+        "fc1": stack(lambda k: nn.linear_init(k, d, f, dtype=dtype), keys[1]),
+        "fc2": stack(lambda k: nn.linear_init(k, f, d, dtype=dtype), keys[2]),
+        "mlp_ln": jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * n), nn.layer_norm_init(d, dtype)),
+    }
+    params = {
+        "embed_tokens": nn.embedding_init(keys[3], cfg.vocab_size,
+                                          cfg.word_embed_proj_dim, dtype),
+        "embed_positions": nn.embedding_init(
+            keys[4], cfg.max_positions + cfg.position_offset, d, dtype),
+        "layers": layers,
+    }
+    if cfg.do_layer_norm_before:
+        params["final_ln"] = nn.layer_norm_init(d, dtype)
+    if cfg.word_embed_proj_dim != cfg.hidden_size:
+        params["project_in"] = nn.linear_init(
+            keys[5], cfg.word_embed_proj_dim, d, bias=False, dtype=dtype)
+        params["project_out"] = nn.linear_init(
+            keys[6], d, cfg.word_embed_proj_dim, bias=False, dtype=dtype)
+    return params
+
+
+def resize_embeddings(params, new_vocab: int, key=None, std: float = 0.02):
+    """Grows the token-embedding table (reference: lm.resize_token_embeddings,
+    gill/models.py:73). New rows are N(0, std)."""
+    w = params["embed_tokens"]["weight"]
+    old_vocab, dim = w.shape
+    if new_vocab <= old_vocab:
+        return params
+    key = key if key is not None else jax.random.PRNGKey(0)
+    new_rows = jax.random.normal(key, (new_vocab - old_vocab, dim), w.dtype) * std
+    params = dict(params)
+    params["embed_tokens"] = {"weight": jnp.concatenate([w, new_rows], axis=0)}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def embed_tokens(params, ids):
+    """Token ids -> input embeddings (the `input_embeddings` surface the GILL
+    adapters read/write; reference gill/models.py:75)."""
+    return params["embed_tokens"]["weight"][ids]
+
+
+def _layer(cfg: OPTConfig, lp, h, kv_offset=None, cache_kv=None, cache_pos=None):
+    """One decoder layer. Returns (h, (k, v)) where k/v are this layer's new
+    key/value tensors (full seq when cache_kv is None, else updated cache)."""
+    b, t, d = h.shape
+    hd = cfg.head_dim
+    pre_ln = cfg.do_layer_norm_before
+
+    resid = h
+    x = nn.layer_norm(lp["attn_ln"], h, cfg.layer_norm_eps) if pre_ln else h
+    q = nn.linear(lp["attn"]["q"], x).reshape(b, t, cfg.num_heads, hd)
+    k = nn.linear(lp["attn"]["k"], x).reshape(b, t, cfg.num_heads, hd)
+    v = nn.linear(lp["attn"]["v"], x).reshape(b, t, cfg.num_heads, hd)
+
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
+        attn = dot_product_attention(q, ck, cv, causal=True, kv_offset=cache_pos)
+        new_kv = (ck, cv)
+    else:
+        attn = dot_product_attention(q, k, v, causal=True, kv_offset=kv_offset)
+        new_kv = (k, v)
+
+    x = nn.linear(lp["attn"]["o"], attn.reshape(b, t, d))
+    h = resid + x
+    if not pre_ln:
+        h = nn.layer_norm(lp["attn_ln"], h, cfg.layer_norm_eps)
+
+    resid = h
+    x = nn.layer_norm(lp["mlp_ln"], h, cfg.layer_norm_eps) if pre_ln else h
+    x = nn.linear(lp["fc2"], jax.nn.relu(nn.linear(lp["fc1"], x)))
+    h = resid + x
+    if not pre_ln:
+        h = nn.layer_norm(lp["mlp_ln"], h, cfg.layer_norm_eps)
+    return h, new_kv
+
+
+def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
+            collect_hidden: bool = False, cache=None, cache_pos=None,
+            remat: bool = False):
+    """Decoder forward from input embeddings.
+
+    Args:
+      inputs_embeds: (B, T, word_embed_proj_dim).
+      positions: (B, T) int positions; default arange(T) (+cache_pos if set).
+      collect_hidden: also return per-layer hidden states (L+1, B, T, D)
+        (index 0 = embeddings; mirrors HF output_hidden_states).
+      cache: optional KV cache dict {"k","v"} with leaves (L, B, S, H, Dh);
+        when given, inputs are written at cache_pos and attention spans the
+        cache prefix.
+      remat: rematerialize each layer (training memory saver).
+
+    Returns dict with "logits" (B, T, vocab) fp32, "last_hidden" (B, T, E),
+    optionally "hidden_states", and "cache" (updated) if cache was passed.
+    """
+    b, t, _ = inputs_embeds.shape
+    h = inputs_embeds
+    if "project_in" in params:
+        h = nn.linear(params["project_in"], h)
+    if positions is None:
+        positions = jnp.arange(t)[None, :]
+        if cache_pos is not None:
+            positions = positions + cache_pos
+    pos_emb = params["embed_positions"]["weight"][positions + cfg.position_offset]
+    h = h + pos_emb.astype(h.dtype)
+    h0 = h
+
+    layer_fn = _layer
+    if remat:
+        layer_fn = jax.checkpoint(
+            lambda lp, h, kv_offset: _layer(cfg, lp, h, kv_offset),
+            static_argnums=(),
+        )
+
+    if cache is not None:
+        def body(h, xs):
+            lp, ck, cv = xs
+            h, (nk, nv) = _layer(cfg, lp, h, cache_kv=(ck, cv), cache_pos=cache_pos)
+            return h, (h, nk, nv)
+
+        h, (hs, new_k, new_v) = jax.lax.scan(
+            body, h, (params["layers"], cache["k"], cache["v"]))
+        out_cache = {"k": new_k, "v": new_v}
+    else:
+        def body(h, lp):
+            if remat:
+                h, _ = layer_fn(lp, h, None)
+            else:
+                h, _ = _layer(cfg, lp, h)
+            return h, h
+
+        h, hs = jax.lax.scan(body, h, params["layers"])
+        out_cache = None
+
+    if cfg.do_layer_norm_before:
+        h = nn.layer_norm(params["final_ln"], h, cfg.layer_norm_eps)
+    if "project_out" in params:
+        h = nn.linear(params["project_out"], h)
+
+    logits = (h.astype(jnp.float32)
+              @ params["embed_tokens"]["weight"].astype(jnp.float32).T)
+
+    out = {"logits": logits, "last_hidden": h}
+    if collect_hidden:
+        # (L+1, B, T, D): index 0 = embedding stream, index i = layer i
+        # output (pre-final-norm), matching HF hidden_states[:-1]; the final
+        # post-norm state is "last_hidden" (== HF hidden_states[-1]).
+        out["hidden_states"] = jnp.concatenate([h0[None], hs], axis=0)
+    if out_cache is not None:
+        out["cache"] = out_cache
+    return out
+
+
+def loss_fn(logits, labels, ignore_index: int = -100):
+    """Shifted next-token CE with -100 masking; mean over valid targets.
+
+    Matches HF CausalLMOutput.loss semantics used at reference main.py:508.
+    """
+    logits = logits[:, :-1, :]
+    targets = labels[:, 1:]
+    valid = targets != ignore_index
+    safe_targets = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return nll.sum() / jnp.maximum(valid.sum(), 1)
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+def init_cache(cfg: OPTConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
+    shape = (cfg.num_layers, batch, max_seq, cfg.num_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}

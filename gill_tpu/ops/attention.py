@@ -27,18 +27,22 @@ _NEG_INF = -1e30
 # XLA reference path
 # ---------------------------------------------------------------------------
 
-def _xla_attention(q, k, v, *, causal: bool, bias=None, scale: float):
+def _xla_attention(q, k, v, *, causal: bool, bias=None, scale: float,
+                   kv_offset=None):
     b, t, h, d = q.shape
     s = k.shape[1]
     logits = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     if causal:
-        # Query i attends to keys j <= i + (s - t): supports cached decode
-        # where queries are the suffix of the key sequence.
+        # Query i attends to keys j <= i + offset. Default offset (s - t)
+        # covers plain self-attention and suffix-of-sequence decode; an
+        # explicit kv_offset supports a preallocated KV cache where only the
+        # first (kv_offset + t) slots are valid.
+        offset = (s - t) if kv_offset is None else kv_offset
         qi = jax.lax.broadcasted_iota(jnp.int32, (t, s), 0)
         kj = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
-        mask = kj <= qi + (s - t)
+        mask = kj <= qi + offset
         logits = jnp.where(mask[None, None], logits, _NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhts,bshd->bthd", probs, v)
@@ -186,18 +190,21 @@ def _on_tpu() -> bool:
 
 def dot_product_attention(q, k, v, *, causal: bool = False,
                           bias: Optional[jax.Array] = None,
+                          kv_offset: Optional[jax.Array] = None,
                           impl: str = "auto"):
     """Attention core. q (B,T,H,D), k/v (B,S,H,D) -> (B,T,H,D).
 
     impl: 'auto' | 'xla' | 'flash'. 'auto' uses the Pallas kernel on TPU for
-    multi-token queries with no additive bias; the XLA path otherwise
-    (CPU tests, single-token decode, biased attention).
+    multi-token queries with no additive bias or dynamic kv_offset; the XLA
+    path otherwise (CPU tests, single-token decode, biased attention).
     """
     scale = 1.0 / math.sqrt(q.shape[-1])
     use_flash = (
         impl == "flash"
-        or (impl == "auto" and _on_tpu() and bias is None and q.shape[1] > 1)
+        or (impl == "auto" and _on_tpu() and bias is None and kv_offset is None
+            and q.shape[1] > 1)
     )
     if use_flash:
         return flash_attention(q, k, v, causal=causal)
-    return _xla_attention(q, k, v, causal=causal, bias=bias, scale=scale)
+    return _xla_attention(q, k, v, causal=causal, bias=bias, scale=scale,
+                          kv_offset=kv_offset)

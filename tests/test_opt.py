@@ -1,0 +1,133 @@
+"""Golden-parity tests: our JAX OPT vs a random-init HF torch OPT."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gill_tpu.config import OPTConfig
+from gill_tpu.models import opt as opt_mod
+from gill_tpu.weights.convert import opt_from_torch
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+TINY = OPTConfig(vocab_size=128, hidden_size=32, ffn_dim=64, num_layers=2,
+                 num_heads=4, word_embed_proj_dim=32, max_positions=64)
+
+
+def _make_torch_opt(cfg: OPTConfig, seed=0):
+    hf_cfg = transformers.OPTConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        ffn_dim=cfg.ffn_dim, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        word_embed_proj_dim=cfg.word_embed_proj_dim,
+        max_position_embeddings=cfg.max_positions,
+        do_layer_norm_before=cfg.do_layer_norm_before,
+        dropout=0.0, attention_dropout=0.0, activation_function="relu",
+    )
+    torch.manual_seed(seed)
+    model = transformers.OPTForCausalLM(hf_cfg).eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def pair():
+    tm = _make_torch_opt(TINY)
+    params = opt_from_torch(tm.state_dict(), TINY)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return tm, params
+
+
+def test_logits_parity(pair):
+    tm, params = pair
+    ids = np.array([[2, 5, 9, 30, 100, 7], [2, 1, 1, 90, 3, 6]], dtype=np.int64)
+    with torch.no_grad():
+        t_out = tm(input_ids=torch.tensor(ids), output_hidden_states=True)
+    embs = opt_mod.embed_tokens(params, jnp.asarray(ids))
+    j_out = opt_mod.forward(params, TINY, embs, collect_hidden=True)
+    np.testing.assert_allclose(
+        np.asarray(j_out["logits"]), t_out.logits.numpy(), atol=2e-5, rtol=2e-5)
+    # final hidden (post final_layer_norm) == HF hidden_states[-1]
+    np.testing.assert_allclose(
+        np.asarray(j_out["last_hidden"]), t_out.hidden_states[-1].numpy(),
+        atol=2e-5, rtol=2e-5)
+    # per-layer hidden states == HF hidden_states[:-1]
+    for i in range(TINY.num_layers):
+        np.testing.assert_allclose(
+            np.asarray(j_out["hidden_states"][i]),
+            t_out.hidden_states[i].numpy(), atol=2e-5, rtol=2e-5)
+
+
+def test_inputs_embeds_parity(pair):
+    tm, params = pair
+    rng = np.random.RandomState(0)
+    embs = rng.randn(2, 5, TINY.word_embed_proj_dim).astype(np.float32)
+    with torch.no_grad():
+        t_out = tm(inputs_embeds=torch.tensor(embs))
+    j_out = opt_mod.forward(params, TINY, jnp.asarray(embs))
+    np.testing.assert_allclose(
+        np.asarray(j_out["logits"]), t_out.logits.numpy(), atol=2e-5, rtol=2e-5)
+
+
+def test_loss_parity(pair):
+    tm, params = pair
+    ids = np.array([[2, 5, 9, 30, 100, 7]], dtype=np.int64)
+    labels = ids.copy()
+    labels[0, :2] = -100
+    with torch.no_grad():
+        t_out = tm(input_ids=torch.tensor(ids), labels=torch.tensor(labels))
+    embs = opt_mod.embed_tokens(params, jnp.asarray(ids))
+    j_out = opt_mod.forward(params, TINY, embs)
+    j_loss = opt_mod.loss_fn(j_out["logits"], jnp.asarray(labels))
+    np.testing.assert_allclose(float(j_loss), float(t_out.loss), atol=1e-5, rtol=1e-5)
+
+
+def test_kv_cache_decode_matches_full_forward(pair):
+    _, params = pair
+    ids = np.array([[2, 5, 9, 30, 100, 7, 11, 42]], dtype=np.int64)
+    embs = opt_mod.embed_tokens(params, jnp.asarray(ids))
+    full = opt_mod.forward(params, TINY, embs)
+
+    max_seq = 16
+    cache = opt_mod.init_cache(TINY, 1, max_seq, dtype=jnp.float32)
+    # Prefill with the first 5 tokens, then decode one at a time.
+    out = opt_mod.forward(params, TINY, embs[:, :5], cache=cache, cache_pos=0)
+    logits = [out["logits"]]
+    cache = out["cache"]
+    for i in range(5, 8):
+        step = opt_mod.forward(params, TINY, embs[:, i:i + 1], cache=cache,
+                               cache_pos=i)
+        cache = step["cache"]
+        logits.append(step["logits"])
+    cached_logits = np.concatenate([np.asarray(l) for l in logits], axis=1)
+    np.testing.assert_allclose(cached_logits, np.asarray(full["logits"]),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_resize_embeddings(pair):
+    _, params = pair
+    p2 = opt_mod.resize_embeddings(params, TINY.vocab_size + 9,
+                                   key=jax.random.PRNGKey(1))
+    assert p2["embed_tokens"]["weight"].shape == (TINY.vocab_size + 9,
+                                                  TINY.word_embed_proj_dim)
+    # old rows intact
+    np.testing.assert_array_equal(
+        np.asarray(p2["embed_tokens"]["weight"][: TINY.vocab_size]),
+        np.asarray(params["embed_tokens"]["weight"]))
+
+
+def test_opt350m_projections():
+    cfg = OPTConfig(vocab_size=96, hidden_size=32, ffn_dim=64, num_layers=2,
+                    num_heads=4, word_embed_proj_dim=16, max_positions=64,
+                    do_layer_norm_before=False)
+    tm = _make_torch_opt(cfg, seed=1)
+    params = jax.tree_util.tree_map(jnp.asarray, opt_from_torch(tm.state_dict(), cfg))
+    ids = np.array([[2, 5, 9, 30]], dtype=np.int64)
+    with torch.no_grad():
+        t_out = tm(input_ids=torch.tensor(ids))
+    embs = opt_mod.embed_tokens(params, jnp.asarray(ids))
+    j_out = opt_mod.forward(params, cfg, embs)
+    np.testing.assert_allclose(np.asarray(j_out["logits"]), t_out.logits.numpy(),
+                               atol=2e-5, rtol=2e-5)

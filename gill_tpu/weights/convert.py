@@ -199,7 +199,9 @@ def torch_transformer_from_torch(sd, prefix: str, d_model: int,
     }
 
 
-def text_fc_layer_from_torch(sd, prefix: str, mode: str, d_model: int = 512) -> dict:
+def text_fc_layer_from_torch(sd, prefix: str, mode: str, d_model: int = 512,
+                             num_encoder_layers: int = 4,
+                             num_decoder_layers: int = 4) -> dict:
     """Reference TextFcLayer weights (gill/layers.py) -> mapper params."""
     if mode == "linear":
         return {"model": _lin(sd, prefix + "model")}
@@ -207,7 +209,7 @@ def text_fc_layer_from_torch(sd, prefix: str, mode: str, d_model: int = 512) -> 
     return {
         "fc": _lin(sd, prefix + "fc"),
         "tfm": torch_transformer_from_torch(
-            sd, prefix + "tfm.", d_model, 4, 4),
+            sd, prefix + "tfm.", d_model, num_encoder_layers, num_decoder_layers),
         "model": _lin(sd, prefix + "model"),
         "query_embs": _np(sd[prefix + "query_embs"]),
     }

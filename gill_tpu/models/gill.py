@@ -1,0 +1,342 @@
+"""GILL core: frozen OPT + frozen CLIP ViT glued by small trainable adapters,
+with the 3-mode multi-task forward (captioning / retrieval / generation).
+
+Parity target: reference `GILLModel` (gill/models.py:39-441). TPU-first
+redesigns (all behavior-preserving):
+
+  * The 8 trainable [IMG] token rows are a separate (num_tokens, E) parameter
+    that overrides the frozen embedding table at lookup and lm-head time.
+    This removes the reference's gradient-mask hack (main.py:584-593) — only
+    the adapter pytree is differentiated, by construction.
+  * Per-sample Python label masking (models.py:218-227, 289-297, 357-361)
+    becomes vectorized cumulative masks.
+  * `concat_captions` packing (models.py:230-271, 302-355) — a data-dependent
+    Python rearrangement in the reference — is a static, vectorized gather
+    (`pack_pairs`) compiled into the step.
+  * The [IMG]-window hidden-state extraction (models.py:383-387) is a
+    take_along_axis gather with static window size num_tokens.
+
+Params layout: {"lm": opt params, "vision": clip params, "adapters": {...}}.
+Only "adapters" is trainable (matches the stripped-checkpoint philosophy,
+reference main.py:415-418).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gill_tpu.config import CLIPVisionConfig, GILLConfig, OPTConfig
+from gill_tpu.models import clip as clip_mod
+from gill_tpu.models import mapper as mapper_mod
+from gill_tpu.models import opt as opt_mod
+from gill_tpu.nn import core as nn
+
+IGNORE = -100
+
+
+@dataclasses.dataclass
+class GILLCore:
+    """Static model description; all apply methods are pure functions of
+    (params, inputs) and jit/pjit-compatible."""
+
+    cfg: GILLConfig
+    opt_cfg: OPTConfig
+    vis_cfg: CLIPVisionConfig
+    vocab_len: int               # len(tokenizer) incl. <|image|> + [IMG0..7]
+    img_start: int               # id of [IMG0] (contiguous run of num_tokens)
+    pad_token_id: int = 1
+    bos_token_id: int = 2
+
+    @classmethod
+    def build(cls, cfg: GILLConfig, vocab_len: int, img_start: int,
+              pad_token_id: int = 1, bos_token_id: int = 2) -> "GILLCore":
+        return cls(cfg=cfg, opt_cfg=cfg.opt, vis_cfg=cfg.vision,
+                   vocab_len=vocab_len, img_start=img_start,
+                   pad_token_id=pad_token_id, bos_token_id=bos_token_id)
+
+    # -- mapper configs ------------------------------------------------------
+
+    @property
+    def lm_dim(self) -> int:
+        return self.opt_cfg.word_embed_proj_dim
+
+    @property
+    def ret_mapper_cfg(self) -> mapper_mod.MapperConfig:
+        return mapper_mod.MapperConfig(
+            in_dim=self.lm_dim, out_dim=self.cfg.ret_emb_dim,
+            num_input_tokens=self.cfg.num_tokens, num_output_tokens=1,
+            mode=self.cfg.ret_text_fc_mode)
+
+    @property
+    def gen_mapper_cfg(self) -> mapper_mod.MapperConfig:
+        return mapper_mod.MapperConfig(
+            in_dim=self.lm_dim, out_dim=self.cfg.gen_emb_dim,
+            num_input_tokens=self.cfg.num_tokens,
+            num_output_tokens=self.cfg.num_clip_tokens,
+            mode=self.cfg.text_fc_mode)
+
+    # -- init ----------------------------------------------------------------
+
+    def init_params(self, key, dtype=jnp.float32) -> dict:
+        klm, kvis, kad = jax.random.split(key, 3)
+        lm = opt_mod.init(klm, self.opt_cfg, dtype)
+        lm = opt_mod.resize_embeddings(lm, self.vocab_len, key=klm)
+        return {
+            "lm": lm,
+            "vision": clip_mod.init_vision(kvis, self.vis_cfg, dtype),
+            "adapters": self.init_adapters(kad, dtype),
+        }
+
+    def init_adapters(self, key, dtype=jnp.float32) -> dict:
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        vh = self.vis_cfg.hidden_size
+        return {
+            "img_embeddings": jax.random.normal(
+                k1, (self.cfg.num_tokens, self.lm_dim), dtype) * 0.02,
+            "visual_embeddings": nn.linear_init(
+                k2, vh, self.lm_dim * self.cfg.n_visual_tokens, dtype=dtype),
+            "visual_fc": nn.linear_init(k3, vh, self.cfg.ret_emb_dim, dtype=dtype),
+            "logit_scale": jnp.asarray(math.log(1 / 0.07), dtype),
+            "ret_fc": mapper_mod.init(k4, self.ret_mapper_cfg, dtype),
+            "gen_fc": mapper_mod.init(k5, self.gen_mapper_cfg, dtype),
+        }
+
+    # -- embeddings ----------------------------------------------------------
+
+    def embed_tokens(self, params, ids):
+        """Token embedding with trainable [IMG] row override."""
+        table = params["lm"]["embed_tokens"]["weight"]
+        base = table[ids]
+        rel = ids - self.img_start
+        in_img = (rel >= 0) & (rel < self.cfg.num_tokens)
+        img = params["adapters"]["img_embeddings"].astype(base.dtype)[
+            jnp.clip(rel, 0, self.cfg.num_tokens - 1)]
+        return jnp.where(in_img[..., None], img, base)
+
+    def lm_head_table(self, params):
+        """Tied lm head = frozen table with [IMG] rows swapped in."""
+        table = params["lm"]["embed_tokens"]["weight"]
+        return jax.lax.dynamic_update_slice(
+            table, params["adapters"]["img_embeddings"].astype(table.dtype),
+            (self.img_start, 0))
+
+    def renorm_img_embeddings(self, params):
+        """Rescales each [IMG] row to the mean norm of the frozen rows
+        (reference main.py:602-607), as a pure O(num_tokens x E) update."""
+        table = params["lm"]["embed_tokens"]["weight"]
+        frozen = table[: self.vocab_len - self.cfg.num_tokens]
+        target = jnp.linalg.norm(frozen.astype(jnp.float32), axis=1).mean()
+        img = params["adapters"]["img_embeddings"].astype(jnp.float32)
+        norms = jnp.linalg.norm(img, axis=1, keepdims=True)
+        img = img * (target / jnp.maximum(norms, 1e-8))
+        ad = dict(params["adapters"])
+        ad["img_embeddings"] = img.astype(params["adapters"]["img_embeddings"].dtype)
+        out = dict(params)
+        out["adapters"] = ad
+        return out
+
+    # -- vision --------------------------------------------------------------
+
+    def get_visual_embs(self, params, pixel_values, mode: str = "captioning"):
+        """pixel_values: (B, H, W, 3) NHWC. Reference gill/models.py:129-152."""
+        if mode == "generation":
+            return jnp.zeros((pixel_values.shape[0], 1, 768), pixel_values.dtype)
+        pooled = clip_mod.vision_forward(
+            params["vision"], self.vis_cfg, pixel_values)["pooler_output"]
+        if mode == "captioning":
+            v = nn.linear(params["adapters"]["visual_embeddings"], pooled)
+            return v.reshape(v.shape[0], self.cfg.n_visual_tokens, self.lm_dim)
+        if mode == "retrieval":
+            v = nn.linear(params["adapters"]["visual_fc"], pooled)
+            return v.reshape(v.shape[0], 1, self.cfg.ret_emb_dim)
+        raise ValueError(mode)
+
+    # -- label masking (vectorized) -------------------------------------------
+
+    def _is_img(self, tokens, include_first: bool):
+        rel = tokens - self.img_start
+        lo = 0 if include_first else 1
+        return (rel >= lo) & (rel < self.cfg.num_tokens)
+
+    def mask_labels(self, tokens, mode: str):
+        """tokens (B, T) -> labels with IGNORE from the first trigger onward.
+
+        captioning: trigger = pad or any [IMG]   (reference models.py:218-227)
+        ret/gen:    trigger = pad or [IMG1..7]   (models.py:289-297, 357-361)
+        """
+        if mode == "captioning":
+            trig = (tokens == self.pad_token_id) | self._is_img(tokens, True)
+        else:
+            trig = (tokens == self.pad_token_id) | self._is_img(tokens, False)
+        masked = jnp.cumsum(trig.astype(jnp.int32), axis=1) > 0
+        return jnp.where(masked, IGNORE, tokens)
+
+    def first_pad_idx(self, tokens):
+        """Index of first padding position per row; T if none (the packing
+        split point, reference models.py:289-297 `pad_idx`)."""
+        t = tokens.shape[1]
+        is_pad = tokens == self.pad_token_id
+        any_pad = is_pad.any(axis=1)
+        first = jnp.argmax(is_pad.astype(jnp.int32), axis=1)
+        return jnp.where(any_pad, first, t)
+
+    # -- static pair packing (concat_captions) --------------------------------
+
+    def pack_pairs(self, embs, labels, valid_len, bos_pos, last_idx):
+        """Packs example pairs (2i, 2i+1) into rows of length 2T-1, dropping
+        the second example's BOS (reference models.py:230-271/302-355 done as
+        a static vectorized gather).
+
+        embs (B, T, D); labels (B, T); valid_len (B,) = first-pad index;
+        bos_pos: static int, position of BOS in each row (n_visual_tokens for
+        captioning, 0 for ret/gen); last_idx (B,) position of last [IMG].
+
+        Returns packed (B/2, 2T-1, D), labels (B/2, 2T-1),
+        last_idx_pair (B/2, 2).
+        """
+        b, t, d = embs.shape
+        assert b % 2 == 0
+        a_e, b_e = embs[0::2], embs[1::2]
+        a_l, b_l = labels[0::2], labels[1::2]
+        len_a = valid_len[0::2]
+        # Drop second BOS: shift positions >= bos_pos left by one.
+        pos = jnp.arange(t - 1)
+        b_gather = jnp.where(pos >= bos_pos, pos + 1, pos)
+        b_e2 = jnp.take(b_e, b_gather, axis=1)
+        b_l2 = jnp.take(b_l, b_gather, axis=1)
+
+        p = jnp.arange(2 * t - 1)[None, :]                    # (1, 2T-1)
+        from_a = p < len_a[:, None]
+        a_idx = jnp.clip(p, 0, t - 1)
+        b_idx = jnp.clip(p - len_a[:, None], 0, t - 2)
+        packed_e = jnp.where(
+            from_a[..., None],
+            jnp.take_along_axis(a_e, a_idx[..., None].repeat(d, -1), axis=1),
+            jnp.take_along_axis(b_e2, b_idx[..., None].repeat(d, -1), axis=1))
+        packed_l = jnp.where(
+            from_a,
+            jnp.take_along_axis(a_l, a_idx, axis=1),
+            jnp.take_along_axis(b_l2, b_idx, axis=1))
+        last_pair = jnp.stack(
+            [last_idx[0::2], len_a + last_idx[1::2] - 1], axis=1)  # (B/2, 2)
+        return packed_e, packed_l, last_pair
+
+    # -- forward ---------------------------------------------------------------
+
+    def forward(self, params, pixel_values, tokens, caption_len, *,
+                mode: str = "captioning", concat_captions: bool = False,
+                prefix_ids: Optional[jnp.ndarray] = None,
+                remat: bool = False) -> Dict[str, jnp.ndarray]:
+        """One mode of the multi-task step (reference GILLModel.forward,
+        gill/models.py:164-441).
+
+        pixel_values: (B, H, W, 3); tokens: (B, T) [caption + [IMG0..7] +
+        pads]; caption_len: (B,) attention-mask sums; prefix_ids: static
+        prompt token ids (e.g. "A picture of") or None.
+
+        Returns dict: logits, full_labels, last_embedding, last_output_logit,
+        visual_embs, visual_embs_norm, input_embs_norm, llm_hidden.
+        """
+        cfg = self.cfg
+        b, t = tokens.shape
+        visual_embs = self.get_visual_embs(params, pixel_values, mode)
+        visual_norm = jnp.sqrt((visual_embs.astype(jnp.float32) ** 2)
+                               .sum(-1)).mean()
+
+        text_embs = self.embed_tokens(params, tokens)
+        input_norm = jnp.sqrt((text_embs.astype(jnp.float32) ** 2).sum(-1)).mean()
+        last_idx = caption_len - 1  # token before EOS pad (models.py:183)
+
+        n_prefix = 0
+        prefix_embs = None
+        if prefix_ids is not None:
+            prefix_embs = jnp.broadcast_to(
+                self.embed_tokens(params, prefix_ids)[None],
+                (b, prefix_ids.shape[0], self.lm_dim))
+            n_prefix = prefix_ids.shape[0]
+
+        if mode == "captioning":
+            parts = [visual_embs.astype(text_embs.dtype)]
+            if prefix_embs is not None:
+                parts.append(prefix_embs)
+            cond = jnp.concatenate(parts, axis=1)
+            embs = jnp.concatenate([cond, text_embs], axis=1)
+            cond_len = cond.shape[1]
+            labels = jnp.concatenate(
+                [jnp.full((b, cond_len), IGNORE, jnp.int32),
+                 self.mask_labels(tokens, mode)], axis=1)
+            last_idx = last_idx + cond_len
+            bos_pos = cond_len
+            valid_len = self.first_pad_idx(tokens) + cond_len
+        else:
+            if prefix_embs is not None:
+                embs = jnp.concatenate([prefix_embs, text_embs], axis=1)
+                labels = jnp.concatenate(
+                    [jnp.full((b, n_prefix), IGNORE, jnp.int32),
+                     self.mask_labels(tokens, mode)], axis=1)
+                last_idx = last_idx + n_prefix
+            else:
+                embs = text_embs
+                labels = self.mask_labels(tokens, mode)
+            bos_pos = n_prefix
+            valid_len = self.first_pad_idx(tokens) + n_prefix
+
+        if concat_captions:
+            embs, labels, last_pair = self.pack_pairs(
+                embs, labels, valid_len, bos_pos, last_idx)
+        else:
+            last_pair = last_idx[:, None]  # (B, 1)
+
+        out = opt_mod.forward(params["lm"], self.opt_cfg, embs, remat=remat,
+                              lm_head=self.lm_head_table(params))
+        logits, hidden = out["logits"], out["last_hidden"]
+
+        result = {
+            "logits": logits,
+            "full_labels": labels,
+            "visual_embs": visual_embs,
+            "visual_embs_norm": visual_norm,
+            "input_embs_norm": input_norm,
+            "ce_loss": opt_mod.loss_fn(logits, labels),
+        }
+
+        if mode in ("retrieval", "generation"):
+            nt = cfg.num_tokens
+            # Gather the num_tokens-wide [IMG] window ending at each
+            # last-idx (models.py:383-387) for every packed sub-example.
+            win = last_pair[..., None] - (nt - 1) + jnp.arange(nt)  # (B,P,nt)
+            bp = win.shape[0] * win.shape[1]
+            flat = win.reshape(win.shape[0], -1)                    # (B, P*nt)
+            gat = lambda x: jnp.take_along_axis(
+                x, flat[..., None].repeat(x.shape[-1], -1), axis=1
+            ).reshape(bp, nt, x.shape[-1])
+            win_hidden = gat(hidden)
+            win_embs = gat(embs)
+            mcfg = (self.ret_mapper_cfg if mode == "retrieval"
+                    else self.gen_mapper_cfg)
+            fc = params["adapters"]["ret_fc" if mode == "retrieval" else "gen_fc"]
+            mapped = mapper_mod.apply(fc, mcfg, win_hidden, win_embs)
+            result["llm_hidden"] = win_hidden
+
+            logit_pos = jnp.maximum(last_pair - 1, 0)
+            last_logit = jnp.take_along_axis(
+                logits, logit_pos[..., None].repeat(logits.shape[-1], -1),
+                axis=1).reshape(bp, -1)
+            result["last_output_logit"] = last_logit
+
+            if mode == "retrieval":
+                ve = visual_embs[:, 0].astype(jnp.float32)
+                ve = ve / jnp.linalg.norm(ve, axis=1, keepdims=True)
+                le = mapped[:, 0].astype(jnp.float32)
+                le = le / jnp.linalg.norm(le, axis=1, keepdims=True)
+                scale = jnp.exp(params["adapters"]["logit_scale"]).astype(jnp.float32)
+                result["visual_embs"] = scale * ve   # (B, 256), pre-scaled
+                result["last_embedding"] = le        # (B*P, 256) normalized
+            else:
+                result["last_embedding"] = mapped    # (B*P, 77, 768)
+        return result

@@ -134,7 +134,7 @@ def _layer(cfg: OPTConfig, lp, h, kv_offset=None, cache_kv=None, cache_pos=None)
 
 def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
             collect_hidden: bool = False, cache=None, cache_pos=None,
-            remat: bool = False):
+            remat: bool = False, lm_head=None):
     """Decoder forward from input embeddings.
 
     Args:
@@ -194,8 +194,8 @@ def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
     if "project_out" in params:
         h = nn.linear(params["project_out"], h)
 
-    logits = (h.astype(jnp.float32)
-              @ params["embed_tokens"]["weight"].astype(jnp.float32).T)
+    head = params["embed_tokens"]["weight"] if lm_head is None else lm_head
+    logits = h.astype(jnp.float32) @ head.astype(jnp.float32).T
 
     out = {"logits": logits, "last_hidden": h}
     if collect_hidden:

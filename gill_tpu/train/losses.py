@@ -1,0 +1,58 @@
+"""Loss functions and accuracy metrics (parity: reference gill/losses.py and
+gill/utils.py:128-150), implemented as pure jnp so they compile into the one
+SPMD train step.
+
+For the contrastive loss the reference all_gathers embeddings across DDP
+ranks and overwrites the local slice to keep gradients (main.py:522-535).
+Under pjit/GSPMD the batch is a global array, so computing the full NxN logit
+matrix here is gradient-correct by construction and XLA inserts the
+all-gathers over ICI automatically — no overwrite hack.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def l2_loss(u, v):
+    """Per-token Euclidean distance summed over the feature dim.
+
+    u, v: (N, T, D) (or (N, D)). Returns (N, T) (or (N,)) — matches reference
+    losses.py:19-28 (which, despite its name, is an L2 *norm*, not squared).
+    """
+    assert u.shape == v.shape, (u.shape, v.shape)
+    return jnp.sqrt(jnp.maximum(((u - v) ** 2).sum(axis=-1), 1e-12))
+
+
+def contrastive_loss(logits):
+    """InfoNCE: CE of each row against the diagonal (reference losses.py:31)."""
+    n = logits.shape[0]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.diagonal(logp))
+
+
+def contrastive_acc(logits, topk=(1,)):
+    """Top-k accuracy of the diagonal target, in percent."""
+    n = logits.shape[0]
+    target = jnp.arange(n)
+    order = jnp.argsort(-logits, axis=-1)
+    out = []
+    for k in topk:
+        hit = (order[:, :k] == target[:, None]).any(axis=-1)
+        out.append(100.0 * hit.mean())
+    return out
+
+
+def token_accuracy(logits, labels, ignore_index: int = -100, topk=(1, 5)):
+    """Top-k next-token accuracy over non-masked positions, in percent.
+
+    logits: (B, T, V) *unshifted* (caller passes logits[:, :-1] vs
+    labels[:, 1:] like reference main.py:504).
+    """
+    valid = labels != ignore_index
+    k_max = max(topk)
+    _, pred = jax.lax.top_k(logits, k_max)  # (B, T, k)
+    correct = (pred == labels[..., None]) & valid[..., None]
+    denom = jnp.maximum(valid.sum(), 1)
+    return [100.0 * correct[..., :k].sum() / denom for k in topk]

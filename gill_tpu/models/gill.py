@@ -340,3 +340,94 @@ class GILLCore:
             else:
                 result["last_embedding"] = mapped    # (B*P, 77, 768)
         return result
+
+    # -- decoding ---------------------------------------------------------------
+
+    def generate(self, params, input_embs, *, num_words: int = 32,
+                 min_word_tokens: int = 0, temperature: float = 0.0,
+                 top_p: float = 1.0, ret_scale_factor: float = 1.0,
+                 gen_scale_factor: float = 1.0, max_img_runs: int = 1,
+                 rng: Optional[jax.Array] = None,
+                 max_cache_len: Optional[int] = None):
+        """KV-cached lax.scan decoding with [IMG] logic (parity target:
+        reference GILLModel.generate, gill/models.py:443-532, which
+        re-forwards the full prefix per token with use_cache=False).
+
+        Semantics preserved: [IMG1..7] banned; no [IMG] before
+        min_word_tokens sampling iterations; |logit|*scale boost on [IMG0]
+        when scale > 1; emitting [IMG0] force-commits the remaining
+        [IMG1..n) tokens (forced tokens do not consume sampling iterations,
+        matching the reference where the 8-token append costs one loop
+        iteration). Runs num_words + (num_tokens-1)*max_img_runs scan steps;
+        positions past the last sampling iteration emit pad and are marked
+        invalid.
+
+        Returns dict: tokens (B, S) int32, hidden (B, S, E) final-layer
+        hidden state of each emitted token, valid (B, S) bool.
+        """
+        cfg = self.cfg
+        b, t_in, _ = input_embs.shape
+        nt = cfg.num_tokens
+        steps = num_words + (nt - 1) * max_img_runs
+        max_len = max_cache_len or (t_in + steps)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        lm_head = self.lm_head_table(params)
+        cache = opt_mod.init_cache(self.opt_cfg, b, max_len,
+                                   dtype=input_embs.dtype)
+        pre = opt_mod.forward(params["lm"], self.opt_cfg, input_embs,
+                              cache=cache, cache_pos=0, lm_head=lm_head)
+        logits0 = pre["logits"][:, -1]
+        cache = pre["cache"]
+
+        img0 = self.img_start
+        filter_value = -jnp.inf
+
+        def pick(logits, iter_count, rng_step):
+            """Reference logit surgery + sampling for one step."""
+            v = logits.shape[-1]
+            ids = jnp.arange(v)
+            ban = (ids > img0) & (ids < img0 + nt)          # [IMG1..n)
+            logits = jnp.where(ban[None], filter_value, logits)
+            gate = iter_count < min_word_tokens
+            img_col = logits[:, img0]
+            # ret and gen share [IMG0]; the reference applies both boosts
+            # sequentially (|x|*ret then *gen, models.py:486-489).
+            scale = ((ret_scale_factor if ret_scale_factor > 1 else 1.0)
+                     * (gen_scale_factor if gen_scale_factor > 1 else 1.0))
+            boosted = jnp.abs(img_col) * scale if scale > 1.0 else img_col
+            img_col = jnp.where(gate, filter_value, boosted)
+            logits = logits.at[:, img0].set(img_col)
+            from gill_tpu.ops.sampling import sample
+            return sample(rng_step, logits, temperature, top_p)
+
+        def step(carry, _):
+            logits, cache, pos, iter_count, force_k, rng = carry
+            rng, sub = jax.random.split(rng)
+            sampled = pick(logits, iter_count, sub)          # (B,)
+            forced_tok = img0 + (nt - force_k)
+            token = jnp.where(force_k > 0, forced_tok, sampled)
+            done = (force_k == 0) & (iter_count >= num_words)
+            token = jnp.where(done, self.pad_token_id, token)
+            trigger = (force_k == 0) & (token == img0) & (~done)
+            new_force = jnp.where(force_k > 0, force_k - 1,
+                                  jnp.where(trigger, nt - 1, 0))
+            new_iter = jnp.where(force_k > 0, iter_count, iter_count + 1)
+
+            emb = self.embed_tokens(params, token[:, None]).astype(
+                input_embs.dtype)
+            out = opt_mod.forward(params["lm"], self.opt_cfg, emb,
+                                  cache=cache, cache_pos=pos, lm_head=lm_head)
+            hidden = out["last_hidden"][:, 0]
+            return ((out["logits"][:, -1], out["cache"], pos + 1, new_iter,
+                     new_force, rng),
+                    (token, hidden, ~done))
+
+        init = (logits0, cache, jnp.asarray(t_in),
+                jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.int32), rng)
+        _, (tokens, hidden, valid) = jax.lax.scan(step, init, None, length=steps)
+        return {
+            "tokens": tokens.T.astype(jnp.int32),        # (B, S)
+            "hidden": jnp.moveaxis(hidden, 0, 1),        # (B, S, E)
+            "valid": valid.T,                            # (B, S)
+        }

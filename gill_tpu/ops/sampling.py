@@ -1,0 +1,41 @@
+"""On-device sampling ops for the decode loop.
+
+The reference samples on host with torch.sort/cumsum/multinomial per step
+(gill/models.py:491-515); here filtering and sampling are fused jnp ops that
+live inside the decode lax.scan, so decoding never leaves the device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -jnp.inf
+
+
+def top_p_filter(logits, top_p: float):
+    """Nucleus filtering: keep the smallest prefix of the sorted distribution
+    with cumulative probability > top_p, first token always kept (matches the
+    reference's shifted-mask semantics, gill/models.py:499-512)."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits.astype(jnp.float32), axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) <= top_p          # keep j iff cum[j-1] <= top_p
+    kth = jnp.maximum(keep.sum(axis=-1) - 1, 0)
+    thresh = jnp.take_along_axis(sorted_logits, kth[..., None], axis=-1)
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def sample(rng, logits, temperature: float, top_p: float):
+    """Greedy when temperature == 0; else temperature + nucleus sampling.
+
+    `temperature`/`top_p` are static floats -> two compiled variants max.
+    """
+    if temperature == 0.0:
+        if top_p < 1.0:
+            raise ValueError("top_p cannot be set if temperature is 0")
+        return jnp.argmax(logits, axis=-1)
+    logits = logits.astype(jnp.float32) / temperature
+    if top_p < 1.0:
+        logits = top_p_filter(logits, top_p)
+    return jax.random.categorical(rng, logits, axis=-1)

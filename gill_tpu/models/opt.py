@@ -35,24 +35,35 @@ from gill_tpu.ops.attention import dot_product_attention
 # ---------------------------------------------------------------------------
 
 def init(key, cfg: OPTConfig, dtype=jnp.float32):
-    """Random-init parameter pytree (used for tests; real weights come from
-    weights/convert.py)."""
+    """Random-init parameter pytree (used for tests/benchmarks; real weights
+    come from weights/convert.py). Layer leaves are allocated directly in
+    stacked (L, ...) form — materializing per-layer copies first would
+    transiently double memory (OOM for opt-6.7b on a 16GB chip)."""
+    import math as _math
+
     n = cfg.num_layers
-    keys = jax.random.split(key, 8)
-
-    def stack(fn, k):
-        ks = jax.random.split(k, n)
-        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[fn(kk) for kk in ks])
-
+    keys = jax.random.split(key, 16)
     d, f = cfg.hidden_size, cfg.ffn_dim
+
+    def lin(k, shape_in, shape_out):
+        bound = 1.0 / _math.sqrt(shape_in)
+        kw, kb = jax.random.split(k)
+        return {
+            "w": jax.random.uniform(kw, (n, shape_in, shape_out), dtype,
+                                    -bound, bound),
+            "b": jax.random.uniform(kb, (n, shape_out), dtype, -bound, bound),
+        }
+
+    def ln():
+        return {"scale": jnp.ones((n, d), dtype), "bias": jnp.zeros((n, d), dtype)}
+
     layers = {
-        "attn": stack(lambda k: nn.mha_init(k, d, cfg.num_heads, dtype=dtype), keys[0]),
-        "attn_ln": jax.tree_util.tree_map(
-            lambda x: jnp.stack([x] * n), nn.layer_norm_init(d, dtype)),
-        "fc1": stack(lambda k: nn.linear_init(k, d, f, dtype=dtype), keys[1]),
-        "fc2": stack(lambda k: nn.linear_init(k, f, d, dtype=dtype), keys[2]),
-        "mlp_ln": jax.tree_util.tree_map(
-            lambda x: jnp.stack([x] * n), nn.layer_norm_init(d, dtype)),
+        "attn": {"q": lin(keys[0], d, d), "k": lin(keys[1], d, d),
+                 "v": lin(keys[2], d, d), "o": lin(keys[3], d, d)},
+        "attn_ln": ln(),
+        "fc1": lin(keys[4], d, f),
+        "fc2": lin(keys[5], f, d),
+        "mlp_ln": ln(),
     }
     params = {
         "embed_tokens": nn.embedding_init(keys[3], cfg.vocab_size,
@@ -68,6 +79,40 @@ def init(key, cfg: OPTConfig, dtype=jnp.float32):
             keys[5], cfg.word_embed_proj_dim, d, bias=False, dtype=dtype)
         params["project_out"] = nn.linear_init(
             keys[6], d, cfg.word_embed_proj_dim, bias=False, dtype=dtype)
+    return params
+
+
+def init_dummy(cfg: OPTConfig, dtype=jnp.bfloat16):
+    """Zero-weight params with the right structure/shapes — for benchmarks
+    where values don't matter. Avoids PRNG transients (random bits buffers
+    can OOM a 16GB chip when initializing opt-6.7b)."""
+    n, d, f = cfg.num_layers, cfg.hidden_size, cfg.ffn_dim
+
+    def lin(si, so):
+        return {"w": jnp.zeros((n, si, so), dtype), "b": jnp.zeros((n, so), dtype)}
+
+    def ln():
+        return {"scale": jnp.ones((n, d), dtype), "bias": jnp.zeros((n, d), dtype)}
+
+    params = {
+        "embed_tokens": {"weight": jnp.zeros(
+            (cfg.vocab_size, cfg.word_embed_proj_dim), dtype)},
+        "embed_positions": {"weight": jnp.zeros(
+            (cfg.max_positions + cfg.position_offset, d), dtype)},
+        "layers": {
+            "attn": {"q": lin(d, d), "k": lin(d, d), "v": lin(d, d),
+                     "o": lin(d, d)},
+            "attn_ln": ln(), "fc1": lin(d, f), "fc2": lin(f, d), "mlp_ln": ln(),
+        },
+    }
+    if cfg.do_layer_norm_before:
+        params["final_ln"] = {"scale": jnp.ones((d,), dtype),
+                              "bias": jnp.zeros((d,), dtype)}
+    if cfg.word_embed_proj_dim != cfg.hidden_size:
+        params["project_in"] = {"w": jnp.zeros(
+            (cfg.word_embed_proj_dim, d), dtype)}
+        params["project_out"] = {"w": jnp.zeros(
+            (d, cfg.word_embed_proj_dim), dtype)}
     return params
 
 

@@ -1,0 +1,129 @@
+"""Validation loop (parity target: reference gill/validate.py:18-343).
+
+Per batch, all three modes run with the "A picture of" prefix; captioning
+additionally greedy-decodes captions for BLEU-1..4; retrieval embeddings
+accumulate across the whole val set for full-matrix top-1/5 in both
+directions (the model-selection metric, validate.py:343). The reference's
+cross-rank all_gathers (validate.py:94-155) are unnecessary: metrics come
+out of the SPMD eval step already globally reduced, and the (N,256)
+embedding accumulation is host-side.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gill_tpu.train import losses as L
+from gill_tpu.train.bleu import bleu_score
+from gill_tpu.train.trainer import make_eval_step
+from gill_tpu.utils.meters import AverageMeter, ProgressMeter
+
+
+def _embed_for_caption_decode(core, params, pixels, prefix_ids):
+    vis = core.get_visual_embs(params, pixels, "captioning")
+    parts = [vis]
+    if prefix_ids is not None and len(prefix_ids):
+        pe = core.embed_tokens(params, jnp.asarray(prefix_ids)[None])
+        parts.append(jnp.broadcast_to(
+            pe, (vis.shape[0], pe.shape[1], pe.shape[2])).astype(vis.dtype))
+    return jnp.concatenate(parts, axis=1)
+
+
+def generate_captions(core, params, pixels, prefix_ids, tokenizer,
+                      num_words: int = 32):
+    """Greedy caption decode with the input prefix
+    (reference validate.py:123-137)."""
+    embs = _embed_for_caption_decode(core, params, pixels, prefix_ids)
+    out = core.generate(params, embs, num_words=num_words, temperature=0.0,
+                        max_img_runs=1)
+    toks = np.asarray(out["tokens"])
+    valid = np.asarray(out["valid"])
+    caps = []
+    for i in range(toks.shape[0]):
+        ids = toks[i][valid[i]]
+        caps.append(tokenizer.decode(ids, skip_special_tokens=True))
+    return caps
+
+
+def validate(core, tc, adapters, frozen, val_loader, tokenizer,
+             epoch: int = 0, writer=None, prefix_ids=None,
+             max_steps: Optional[int] = None,
+             decode_captions: bool = True) -> float:
+    eval_step = make_eval_step(core, tc, prefix_ids=jnp.asarray(prefix_ids)
+                               if prefix_ids is not None else None)
+
+    meters = {k: AverageMeter(k, ":.4f") for k in
+              ("loss", "cap_ce", "ret_ce", "gen_ce", "cont_loss", "gen_l2",
+               "cap_top1", "cap_top5")}
+    all_vis, all_txt = [], []
+    gen_caps, gt_caps = [], []
+
+    steps = max_steps if max_steps and max_steps > 0 else len(val_loader)
+    progress = ProgressMeter(steps, list(meters.values()), prefix="Val: ")
+
+    params = {"lm": frozen["lm"], "vision": frozen["vision"],
+              "adapters": adapters}
+    ret_fn = jax.jit(lambda p, px, t, l: core.forward(
+        p, px, t, l, mode="retrieval",
+        prefix_ids=jnp.asarray(prefix_ids) if prefix_ids is not None else None))
+
+    for i, batch in enumerate(val_loader):
+        if i >= steps:
+            break
+        paths = batch.pop("path", None)
+        cap_imgs = batch.pop("caption_img", None)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        metrics = eval_step(adapters, frozen, jb, concat=False)
+        for k, m in meters.items():
+            if k in metrics:
+                m.update(float(metrics[k]), len(jb["ret_tokens"]))
+        meters["loss"].update(float(metrics["loss"]), len(jb["ret_tokens"]))
+
+        r = ret_fn(params, jb["pixels"], jb["ret_tokens"], jb["ret_len"])
+        all_vis.append(np.asarray(r["visual_embs"], np.float32))
+        all_txt.append(np.asarray(r["last_embedding"], np.float32))
+
+        if decode_captions:
+            caps = generate_captions(core, params, jb["pixels"], prefix_ids,
+                                     tokenizer)
+            gen_caps.extend(caps)
+            for row in np.asarray(jb["ret_tokens"]):
+                gt_caps.extend([tokenizer.decode(row, skip_special_tokens=True)])
+        if i % 10 == 0:
+            progress.display(i + 1)
+
+    # Whole-val-set retrieval top-1/5 (reference validate.py:248-265).
+    vis = np.concatenate(all_vis)
+    txt = np.concatenate(all_txt)
+    sims = vis @ txt.T
+    n = sims.shape[0]
+    order_i2t = np.argsort(-sims, axis=1)
+    order_t2i = np.argsort(-sims.T, axis=1)
+    tgt = np.arange(n)
+    top1_i2t = float((order_i2t[:, 0] == tgt).mean() * 100)
+    top5_i2t = float((order_i2t[:, :5] == tgt[:, None]).any(1).mean() * 100)
+    top1_t2i = float((order_t2i[:, 0] == tgt).mean() * 100)
+    top5_t2i = float((order_t2i[:, :5] == tgt[:, None]).any(1).mean() * 100)
+
+    results: Dict[str, float] = {f"val/{k}": m.avg for k, m in meters.items()}
+    results.update({
+        "val/t2i_top1": top1_t2i, "val/t2i_top5": top5_t2i,
+        "val/i2t_top1": top1_i2t, "val/i2t_top5": top5_i2t,
+        "val/top1": (top1_t2i + top1_i2t) / 2,
+        "val/top5": (top5_t2i + top5_i2t) / 2,
+    })
+    if gen_caps:
+        b1, b2, b3, b4 = bleu_score(gen_caps, gt_caps)
+        results.update({"val/bleu1": b1 * 100, "val/bleu2": b2 * 100,
+                        "val/bleu3": b3 * 100, "val/bleu4": b4 * 100})
+    if writer is not None:
+        for k, v in results.items():
+            writer.add_scalar(k, v, epoch + 1)
+    print(" * " + "  ".join(f"{k}={v:.3f}" for k, v in results.items()),
+          flush=True)
+    # Model-selection metric (reference validate.py:343 returns the t2i top1).
+    return results["val/t2i_top1"]

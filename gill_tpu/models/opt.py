@@ -240,7 +240,11 @@ def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
         h = nn.linear(params["project_out"], h)
 
     head = params["embed_tokens"]["weight"] if lm_head is None else lm_head
-    logits = h.astype(jnp.float32) @ head.astype(jnp.float32).T
+    # bf16 MXU matmul with fp32 accumulation: avoids materializing an fp32
+    # copy of the (V, E) table (825MB for opt-6.7b — an OOM on one chip).
+    logits = jax.lax.dot_general(
+        h, head.astype(h.dtype), (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     out = {"logits": logits, "last_hidden": h}
     if collect_hidden:

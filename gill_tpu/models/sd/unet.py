@@ -1,0 +1,297 @@
+"""Stable Diffusion v1.5 UNet (UNet2DConditionModel) as a functional JAX
+model.
+
+Parity target: the denoising UNet the reference drives through its forked
+diffusers pipeline (gill/custom_sd.py:628-651). Architecture (SD v1.5):
+4->4 channels, block_out_channels (320,640,1280,1280), 2 layers/block,
+cross-attention on 77x768 CLIP text states, 8 attention heads per block,
+down (CrossAttn x3 + plain) / mid (res-attn-res) / up (plain + CrossAttn x3).
+
+TPU-first: NHWC activations + HWIO kernels everywhere (XLA:TPU's native conv
+layout), attention over flattened spatial tokens runs the shared
+ops/attention core (Pallas flash kernel on TPU), GEGLU/GroupNorm in fp32
+islands inside a bf16 network.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gill_tpu.nn import core as nn
+from gill_tpu.ops.attention import dot_product_attention
+
+
+@dataclasses.dataclass
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 768
+    num_heads: int = 8
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D", "DownBlock2D")
+    up_block_types: Tuple[str, ...] = (
+        "UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D")
+    norm_groups: int = 32
+    freq_shift: int = 0
+    flip_sin_to_cos: bool = True
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+
+def tiny_unet_config() -> UNetConfig:
+    """Small config for tests."""
+    return UNetConfig(block_out_channels=(32, 64), layers_per_block=1,
+                      cross_attention_dim=24, num_heads=2,
+                      down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+                      up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+                      norm_groups=8)
+
+
+# ---------------------------------------------------------------------------
+# time embedding
+# ---------------------------------------------------------------------------
+
+def timestep_embedding(timesteps, dim: int, flip_sin_to_cos: bool = True,
+                       freq_shift: float = 0.0, max_period: float = 10000.0):
+    """Sinusoidal timestep embedding (diffusers get_timestep_embedding
+    semantics: half sin / half cos, optional flip)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    out = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], -1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _init_resnet(key, in_ch, out_ch, temb_dim, groups, dtype):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    p = {
+        "norm1": nn.group_norm_init(in_ch, dtype),
+        "conv1": nn.conv2d_init(k1, in_ch, out_ch, 3, dtype=dtype),
+        "norm2": nn.group_norm_init(out_ch, dtype),
+        "conv2": nn.conv2d_init(k2, out_ch, out_ch, 3, dtype=dtype),
+    }
+    if temb_dim:
+        p["time_emb"] = nn.linear_init(k3, temb_dim, out_ch, dtype=dtype)
+    if in_ch != out_ch:
+        p["shortcut"] = nn.conv2d_init(k4, in_ch, out_ch, 1, dtype=dtype)
+    return p
+
+
+def _init_attn_proj(key, dim, ctx_dim, dtype):
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "q": nn.linear_init(kq, dim, dim, bias=False, dtype=dtype),
+        "k": nn.linear_init(kk, ctx_dim, dim, bias=False, dtype=dtype),
+        "v": nn.linear_init(kv, ctx_dim, dim, bias=False, dtype=dtype),
+        "o": nn.linear_init(ko, dim, dim, bias=True, dtype=dtype),
+    }
+
+
+def _init_tfm_block(key, dim, ctx_dim, dtype):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "ln1": nn.layer_norm_init(dim, dtype),
+        "attn1": _init_attn_proj(k1, dim, dim, dtype),
+        "ln2": nn.layer_norm_init(dim, dtype),
+        "attn2": _init_attn_proj(k2, dim, ctx_dim, dtype),
+        "ln3": nn.layer_norm_init(dim, dtype),
+        "geglu": nn.linear_init(k3, dim, dim * 8, dtype=dtype),
+        "ff_out": nn.linear_init(k4, dim * 4, dim, dtype=dtype),
+    }
+
+
+def _init_spatial_tfm(key, ch, ctx_dim, groups, dtype):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "norm": nn.group_norm_init(ch, dtype),
+        "proj_in": nn.conv2d_init(k1, ch, ch, 1, dtype=dtype),
+        "block": _init_tfm_block(k2, ch, ctx_dim, dtype),
+        "proj_out": nn.conv2d_init(k3, ch, ch, 1, dtype=dtype),
+    }
+
+
+def init(key, cfg: UNetConfig, dtype=jnp.float32):
+    keys = jax.random.split(key, 64)
+    ki = iter(range(64))
+    nk = lambda: keys[next(ki)]
+    ch0 = cfg.block_out_channels[0]
+    temb = cfg.time_embed_dim
+
+    params = {
+        "conv_in": nn.conv2d_init(nk(), cfg.in_channels, ch0, 3, dtype=dtype),
+        "time_fc1": nn.linear_init(nk(), ch0, temb, dtype=dtype),
+        "time_fc2": nn.linear_init(nk(), temb, temb, dtype=dtype),
+        "down": [], "up": [],
+        "norm_out": nn.group_norm_init(ch0, dtype),
+        "conv_out": nn.conv2d_init(nk(), ch0, cfg.out_channels, 3, dtype=dtype),
+    }
+
+    # down blocks
+    out_ch = ch0
+    for i, btype in enumerate(cfg.down_block_types):
+        in_ch, out_ch = out_ch, cfg.block_out_channels[i]
+        block = {"resnets": [], "attns": []}
+        for j in range(cfg.layers_per_block):
+            block["resnets"].append(_init_resnet(
+                nk(), in_ch if j == 0 else out_ch, out_ch, temb,
+                cfg.norm_groups, dtype))
+            if btype == "CrossAttnDownBlock2D":
+                block["attns"].append(_init_spatial_tfm(
+                    nk(), out_ch, cfg.cross_attention_dim, cfg.norm_groups,
+                    dtype))
+        if i < len(cfg.down_block_types) - 1:
+            block["downsample"] = nn.conv2d_init(nk(), out_ch, out_ch, 3,
+                                                 dtype=dtype)
+        params["down"].append(block)
+
+    # mid
+    mid_ch = cfg.block_out_channels[-1]
+    params["mid"] = {
+        "res1": _init_resnet(nk(), mid_ch, mid_ch, temb, cfg.norm_groups, dtype),
+        "attn": _init_spatial_tfm(nk(), mid_ch, cfg.cross_attention_dim,
+                                  cfg.norm_groups, dtype),
+        "res2": _init_resnet(nk(), mid_ch, mid_ch, temb, cfg.norm_groups, dtype),
+    }
+
+    # up blocks
+    rev = list(reversed(cfg.block_out_channels))
+    prev_ch = mid_ch
+    for i, btype in enumerate(cfg.up_block_types):
+        out_ch = rev[i]
+        skip_in_ch = rev[min(i + 1, len(rev) - 1)]
+        block = {"resnets": [], "attns": []}
+        for j in range(cfg.layers_per_block + 1):
+            res_skip = skip_in_ch if j == cfg.layers_per_block else out_ch
+            res_in = prev_ch if j == 0 else out_ch
+            block["resnets"].append(_init_resnet(
+                nk(), res_in + res_skip, out_ch, temb, cfg.norm_groups, dtype))
+            if btype == "CrossAttnUpBlock2D":
+                block["attns"].append(_init_spatial_tfm(
+                    nk(), out_ch, cfg.cross_attention_dim, cfg.norm_groups,
+                    dtype))
+        if i < len(cfg.up_block_types) - 1:
+            block["upsample"] = nn.conv2d_init(nk(), out_ch, out_ch, 3,
+                                               dtype=dtype)
+        params["up"].append(block)
+        prev_ch = out_ch
+    return params
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def _resnet(p, x, temb, groups: int):
+    h = nn.group_norm(p["norm1"], x, groups, eps=1e-5)
+    h = nn.conv2d(p["conv1"], jax.nn.silu(h), padding=1)
+    if "time_emb" in p and temb is not None:
+        h = h + nn.linear(p["time_emb"], jax.nn.silu(temb))[:, None, None, :]
+    h = nn.group_norm(p["norm2"], h, groups, eps=1e-5)
+    h = nn.conv2d(p["conv2"], jax.nn.silu(h), padding=1)
+    if "shortcut" in p:
+        x = nn.conv2d(p["shortcut"], x, padding=0)
+    return x + h
+
+
+def _attention(p, x, ctx, num_heads: int):
+    b, t, d = x.shape
+    hd = d // num_heads
+    s = ctx.shape[1]
+    q = nn.linear(p["q"], x).reshape(b, t, num_heads, hd)
+    k = nn.linear(p["k"], ctx).reshape(b, s, num_heads, hd)
+    v = nn.linear(p["v"], ctx).reshape(b, s, num_heads, hd)
+    o = dot_product_attention(q, k, v, causal=False)
+    return nn.linear(p["o"], o.reshape(b, t, d))
+
+
+def _tfm_block(p, x, ctx, num_heads: int, eps: float = 1e-5):
+    x = x + _attention(p["attn1"], nn.layer_norm(p["ln1"], x, eps),
+                       nn.layer_norm(p["ln1"], x, eps), num_heads)
+    x = x + _attention(p["attn2"], nn.layer_norm(p["ln2"], x, eps), ctx,
+                       num_heads)
+    h = nn.layer_norm(p["ln3"], x, eps)
+    h = nn.linear(p["geglu"], h)
+    val, gate = jnp.split(h, 2, axis=-1)
+    h = val * jax.nn.gelu(gate)
+    return x + nn.linear(p["ff_out"], h)
+
+
+def _spatial_tfm(p, x, ctx, num_heads: int, groups: int):
+    b, h, w, c = x.shape
+    resid = x
+    y = nn.group_norm(p["norm"], x, groups, eps=1e-6)
+    y = nn.conv2d(p["proj_in"], y, padding=0)
+    y = y.reshape(b, h * w, c)
+    y = _tfm_block(p["block"], y, ctx, num_heads)
+    y = y.reshape(b, h, w, c)
+    y = nn.conv2d(p["proj_out"], y, padding=0)
+    return y + resid
+
+
+def _upsample(p, x):
+    b, h, w, c = x.shape
+    x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+    return nn.conv2d(p, x, padding=1)
+
+
+def apply(params, cfg: UNetConfig, latents, timesteps, encoder_hidden_states):
+    """latents (B, H, W, 4) NHWC; timesteps (B,) or scalar; encoder states
+    (B, 77, 768). Returns predicted noise (B, H, W, 4)."""
+    x = latents
+    if timesteps.ndim == 0:
+        timesteps = jnp.broadcast_to(timesteps, (x.shape[0],))
+    temb = timestep_embedding(timesteps, cfg.block_out_channels[0],
+                              cfg.flip_sin_to_cos, cfg.freq_shift)
+    temb = nn.linear(params["time_fc2"], jax.nn.silu(
+        nn.linear(params["time_fc1"], temb.astype(x.dtype))))
+
+    ctx = encoder_hidden_states.astype(x.dtype)
+    g = cfg.norm_groups
+    nh = cfg.num_heads
+
+    x = nn.conv2d(params["conv_in"], x, padding=1)
+    skips = [x]
+    for block in params["down"]:
+        for j, res in enumerate(block["resnets"]):
+            x = _resnet(res, x, temb, g)
+            if block["attns"]:
+                x = _spatial_tfm(block["attns"][j], x, ctx, nh, g)
+            skips.append(x)
+        if "downsample" in block:
+            x = nn.conv2d(block["downsample"], x, stride=2, padding=1)
+            skips.append(x)
+
+    x = _resnet(params["mid"]["res1"], x, temb, g)
+    x = _spatial_tfm(params["mid"]["attn"], x, ctx, nh, g)
+    x = _resnet(params["mid"]["res2"], x, temb, g)
+
+    for block in params["up"]:
+        for j, res in enumerate(block["resnets"]):
+            skip = skips.pop()
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = _resnet(res, x, temb, g)
+            if block["attns"]:
+                x = _spatial_tfm(block["attns"][j], x, ctx, nh, g)
+        if "upsample" in block:
+            x = _upsample(block["upsample"], x)
+
+    x = nn.group_norm(params["norm_out"], x, g, eps=1e-5)
+    x = nn.conv2d(params["conv_out"], jax.nn.silu(x), padding=1)
+    return x

@@ -355,6 +355,132 @@ def setup_gill_tokenizer(tokenizer: GPT2BPETokenizer, num_tokens: int = 8) -> Li
     return img_ids
 
 
+class CLIPBPETokenizer:
+    """CLIP's byte-level BPE (Stable Diffusion's prompt tokenizer).
+
+    Differences vs GPT-2 BPE: lowercasing + whitespace cleanup, an "</w>"
+    end-of-word marker on the last symbol of every word, and
+    <|startoftext|>/<|endoftext|> specials. Padding uses the eos token
+    (SD v1.5 tokenizer convention). Used by the SD text encoder for the
+    embedding-precompute script (reference scripts/preprocess_sd_embeddings
+    .py) and the CFG unconditional embedding (custom_sd.py:594-604).
+    """
+
+    PAT = re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+        r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""", re.IGNORECASE)
+
+    def __init__(self, vocab: Dict[str, int], merges: Sequence[str],
+                 max_length: int = 77):
+        self.encoder = dict(vocab)
+        self.decoder = {v: k for k, v in self.encoder.items()}
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        merges = [tuple(m.split()) for m in merges if m and not m.startswith("#")]
+        self.bpe_ranks = dict(zip(merges, range(len(merges))))
+        self._cache: Dict[str, str] = {}
+        self.bos_token_id = self.encoder["<|startoftext|>"]
+        self.eos_token_id = self.encoder["<|endoftext|>"]
+        self.pad_token_id = self.eos_token_id
+        self.model_max_length = max_length
+
+    @classmethod
+    def from_files(cls, vocab_file: str, merges_file: str, **kw):
+        with open(vocab_file) as f:
+            vocab = json.load(f)
+        with open(merges_file, encoding="utf-8") as f:
+            merges = f.read().split("\n")
+        if merges and merges[0].startswith("#version"):
+            merges = merges[1:]
+        return cls(vocab, [m for m in merges if m], **kw)
+
+    @classmethod
+    def tiny(cls) -> "CLIPBPETokenizer":
+        """Byte-level vocab with </w> variants, no merges; for tests."""
+        vocab = {}
+        for ch in bytes_to_unicode().values():
+            vocab[ch] = len(vocab)
+        for ch in bytes_to_unicode().values():
+            vocab[ch + "</w>"] = len(vocab)
+        vocab["<|startoftext|>"] = len(vocab)
+        vocab["<|endoftext|>"] = len(vocab)
+        return cls(vocab, merges=[])
+
+    def _bpe(self, token: str) -> str:
+        if token in self._cache:
+            return self._cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        if len(word) == 1 or not self.bpe_ranks:
+            out = " ".join(word)
+            self._cache[token] = out
+            return out
+        pairs = _get_pairs(word)
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = _get_pairs(word)
+        out = " ".join(word)
+        self._cache[token] = out
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        import re as _re
+
+        text = _re.sub(r"\s+", " ", text.strip()).lower()
+        ids: List[int] = []
+        for tok in self.PAT.findall(text):
+            tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            for piece in self._bpe(tok).split(" "):
+                ids.append(self.encoder.get(piece, self.eos_token_id))
+        return ids
+
+    def __call__(self, text: Union[str, Sequence[str]],
+                 max_length: Optional[int] = None,
+                 truncate_side: str = "right") -> "Encoding":
+        texts = [text] if isinstance(text, str) else list(text)
+        max_length = max_length or self.model_max_length
+        all_ids, all_mask = [], []
+        for t in texts:
+            ids = self.encode(t)
+            if len(ids) > max_length - 2:
+                # truncate_side parity with the reference's custom tokenizer
+                # fork (custom_sd.py:90,169,268-275).
+                if truncate_side == "right":
+                    ids = ids[: max_length - 2]
+                else:
+                    ids = ids[-(max_length - 2):]
+            ids = [self.bos_token_id] + ids + [self.eos_token_id]
+            mask = [1] * len(ids) + [0] * (max_length - len(ids))
+            ids = ids + [self.pad_token_id] * (max_length - len(ids))
+            all_ids.append(ids)
+            all_mask.append(mask)
+        import numpy as np
+
+        return Encoding(np.asarray(all_ids, np.int32),
+                        np.asarray(all_mask, np.int32))
+
+
 def load_tokenizer(name_or_dir: str) -> GPT2BPETokenizer:
     """Loads a tokenizer from a local directory with vocab.json/merges.txt.
 

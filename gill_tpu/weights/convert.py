@@ -199,6 +199,193 @@ def torch_transformer_from_torch(sd, prefix: str, d_model: int,
     }
 
 
+# ---------------------------------------------------------------------------
+# Stable Diffusion (diffusers UNet2DConditionModel / AutoencoderKL)
+# ---------------------------------------------------------------------------
+
+class _Tracked:
+    """Wraps a state dict and records consumed keys so converters can assert
+    full coverage (catches architecture drift against real checkpoints)."""
+
+    def __init__(self, sd):
+        self.sd = sd
+        self.used = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return self.sd[k]
+
+    def __contains__(self, k):
+        return k in self.sd
+
+    def unused(self, prefix=""):
+        return [k for k in self.sd
+                if k.startswith(prefix) and k not in self.used]
+
+
+def _gn(sd, prefix):
+    return {"scale": _np(sd[prefix + ".weight"]), "bias": _np(sd[prefix + ".bias"])}
+
+
+def _sd_resnet(sd, p, has_temb=True):
+    out = {
+        "norm1": _gn(sd, f"{p}.norm1"),
+        "conv1": _conv(sd, f"{p}.conv1"),
+        "norm2": _gn(sd, f"{p}.norm2"),
+        "conv2": _conv(sd, f"{p}.conv2"),
+    }
+    if has_temb and f"{p}.time_emb_proj.weight" in sd:
+        out["time_emb"] = _lin(sd, f"{p}.time_emb_proj")
+    if f"{p}.conv_shortcut.weight" in sd:
+        out["shortcut"] = _conv(sd, f"{p}.conv_shortcut")
+    return out
+
+
+def _sd_attn_proj(sd, p):
+    return {
+        "q": _lin(sd, f"{p}.to_q"),
+        "k": _lin(sd, f"{p}.to_k"),
+        "v": _lin(sd, f"{p}.to_v"),
+        "o": _lin(sd, f"{p}.to_out.0"),
+    }
+
+
+def _sd_spatial_tfm(sd, p):
+    tb = f"{p}.transformer_blocks.0"
+    return {
+        "norm": _gn(sd, f"{p}.norm"),
+        "proj_in": _conv(sd, f"{p}.proj_in"),
+        "block": {
+            "ln1": _ln(sd, f"{tb}.norm1"),
+            "attn1": _sd_attn_proj(sd, f"{tb}.attn1"),
+            "ln2": _ln(sd, f"{tb}.norm2"),
+            "attn2": _sd_attn_proj(sd, f"{tb}.attn2"),
+            "ln3": _ln(sd, f"{tb}.norm3"),
+            "geglu": _lin(sd, f"{tb}.ff.net.0.proj"),
+            "ff_out": _lin(sd, f"{tb}.ff.net.2"),
+        },
+        "proj_out": _conv(sd, f"{p}.proj_out"),
+    }
+
+
+def sd_unet_from_torch(sd_raw, cfg) -> dict:
+    """diffusers UNet2DConditionModel state_dict -> gill_tpu sd.unet params."""
+    sd = _Tracked(sd_raw)
+    params = {
+        "conv_in": _conv(sd, "conv_in"),
+        "time_fc1": _lin(sd, "time_embedding.linear_1"),
+        "time_fc2": _lin(sd, "time_embedding.linear_2"),
+        "down": [], "up": [],
+        "norm_out": _gn(sd, "conv_norm_out"),
+        "conv_out": _conv(sd, "conv_out"),
+    }
+    for i, btype in enumerate(cfg.down_block_types):
+        p = f"down_blocks.{i}"
+        block = {"resnets": [], "attns": []}
+        for j in range(cfg.layers_per_block):
+            block["resnets"].append(_sd_resnet(sd, f"{p}.resnets.{j}"))
+            if btype == "CrossAttnDownBlock2D":
+                block["attns"].append(_sd_spatial_tfm(sd, f"{p}.attentions.{j}"))
+        if f"{p}.downsamplers.0.conv.weight" in sd:
+            block["downsample"] = _conv(sd, f"{p}.downsamplers.0.conv")
+        params["down"].append(block)
+    params["mid"] = {
+        "res1": _sd_resnet(sd, "mid_block.resnets.0"),
+        "attn": _sd_spatial_tfm(sd, "mid_block.attentions.0"),
+        "res2": _sd_resnet(sd, "mid_block.resnets.1"),
+    }
+    for i, btype in enumerate(cfg.up_block_types):
+        p = f"up_blocks.{i}"
+        block = {"resnets": [], "attns": []}
+        for j in range(cfg.layers_per_block + 1):
+            block["resnets"].append(_sd_resnet(sd, f"{p}.resnets.{j}"))
+            if btype == "CrossAttnUpBlock2D":
+                block["attns"].append(_sd_spatial_tfm(sd, f"{p}.attentions.{j}"))
+        if f"{p}.upsamplers.0.conv.weight" in sd:
+            block["upsample"] = _conv(sd, f"{p}.upsamplers.0.conv")
+        params["up"].append(block)
+    leftover = sd.unused()
+    assert not leftover, f"unconverted UNet keys: {leftover[:8]}"
+    return params
+
+
+def _sd_vae_attn(sd, p):
+    """VAE bottleneck attention; supports both new (to_q/group_norm) and old
+    (query/norm/proj_attn) diffusers key spellings, and 1x1-conv weights."""
+    def pick(*names):
+        for n in names:
+            if f"{p}.{n}.weight" in sd:
+                return n
+        raise KeyError(f"none of {names} under {p}")
+
+    def lin_sq(name):
+        w = _np(sd[f"{p}.{name}.weight"])
+        if w.ndim == 4:
+            w = w[:, :, 0, 0]
+        return {"w": w.T, "b": _np(sd[f"{p}.{name}.bias"])}
+
+    return {
+        "norm": _gn(sd, f"{p}.{pick('group_norm', 'norm')}"),
+        "q": lin_sq(pick("to_q", "query")),
+        "k": lin_sq(pick("to_k", "key")),
+        "v": lin_sq(pick("to_v", "value")),
+        "o": lin_sq("to_out.0" if f"{p}.to_out.0.weight" in sd else "proj_attn"),
+    }
+
+
+def sd_vae_decoder_from_torch(sd_raw, cfg) -> dict:
+    sd = _Tracked(sd_raw)
+    rev = list(reversed(cfg.block_out_channels))
+    params = {
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+        "conv_in": _conv(sd, "decoder.conv_in"),
+        "mid": {
+            "res1": _sd_resnet(sd, "decoder.mid_block.resnets.0", False),
+            "attn": _sd_vae_attn(sd, "decoder.mid_block.attentions.0"),
+            "res2": _sd_resnet(sd, "decoder.mid_block.resnets.1", False),
+        },
+        "up": [],
+        "norm_out": _gn(sd, "decoder.conv_norm_out"),
+        "conv_out": _conv(sd, "decoder.conv_out"),
+    }
+    for i in range(len(rev)):
+        p = f"decoder.up_blocks.{i}"
+        block = {"resnets": [
+            _sd_resnet(sd, f"{p}.resnets.{j}", False)
+            for j in range(cfg.layers_per_block + 1)]}
+        if f"{p}.upsamplers.0.conv.weight" in sd:
+            block["upsample"] = _conv(sd, f"{p}.upsamplers.0.conv")
+        params["up"].append(block)
+    leftover = sd.unused("decoder.") + sd.unused("post_quant")
+    assert not leftover, f"unconverted VAE decoder keys: {leftover[:8]}"
+    return params
+
+
+def sd_vae_encoder_from_torch(sd_raw, cfg) -> dict:
+    sd = _Tracked(sd_raw)
+    params = {
+        "conv_in": _conv(sd, "encoder.conv_in"),
+        "down": [],
+        "mid": {
+            "res1": _sd_resnet(sd, "encoder.mid_block.resnets.0", False),
+            "attn": _sd_vae_attn(sd, "encoder.mid_block.attentions.0"),
+            "res2": _sd_resnet(sd, "encoder.mid_block.resnets.1", False),
+        },
+        "norm_out": _gn(sd, "encoder.conv_norm_out"),
+        "conv_out": _conv(sd, "encoder.conv_out"),
+        "quant_conv": _conv(sd, "quant_conv"),
+    }
+    for i in range(len(cfg.block_out_channels)):
+        p = f"encoder.down_blocks.{i}"
+        block = {"resnets": [
+            _sd_resnet(sd, f"{p}.resnets.{j}", False)
+            for j in range(cfg.layers_per_block)]}
+        if f"{p}.downsamplers.0.conv.weight" in sd:
+            block["downsample"] = _conv(sd, f"{p}.downsamplers.0.conv")
+        params["down"].append(block)
+    return params
+
+
 def text_fc_layer_from_torch(sd, prefix: str, mode: str, d_model: int = 512,
                              num_encoder_layers: int = 4,
                              num_decoder_layers: int = 4) -> dict:

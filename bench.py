@@ -122,10 +122,14 @@ def bench_opt_decode(model, batch, prompt_len, gen_len):
 
 def main():
     _enable_compile_cache()
-    model = os.environ.get("GILL_BENCH_MODEL", "facebook/opt-6.7b")
-    batch = int(os.environ.get("GILL_BENCH_BATCH", "8"))
+    # Default: opt-2.7b @ batch 16 — the largest OPT preset whose weights
+    # leave room for a serving-sized batch on one 16GB v5e chip (opt-6.7b
+    # fits only batch<=2 single-chip: 13.4GB weights; run it via
+    # GILL_BENCH_MODEL=facebook/opt-6.7b GILL_BENCH_BATCH=2).
+    model = os.environ.get("GILL_BENCH_MODEL", "facebook/opt-2.7b")
+    batch = int(os.environ.get("GILL_BENCH_BATCH", "16"))
     prompt_len = int(os.environ.get("GILL_BENCH_PROMPT", "32"))
-    gen_len = int(os.environ.get("GILL_BENCH_GEN", "128"))
+    gen_len = int(os.environ.get("GILL_BENCH_GEN", "96"))
 
     ok = False
     try:

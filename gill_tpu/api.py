@@ -1,0 +1,370 @@
+"""Public inference API: the GILL wrapper + load_gill.
+
+Parity target: reference `GILL` (gill/models.py:535-807) and `load_gill`
+(models.py:810-902). `generate_for_images_and_texts` keeps the exact
+signature and interleaved output structure:
+  [str, {'gen': [(img, score)], 'ret': [(img, 'ret', score)],
+         'decision': [label, probs]}, ...]
+
+TPU-first data flow: decoding, [IMG]-window extraction, retrieval top-k,
+decision MLP, GILLMapper and the SD denoise all stay on device; only token
+ids, top-k indices/scores and final images cross to host.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from gill_tpu.config import GILLConfig
+from gill_tpu.models import decision as decision_mod
+from gill_tpu.models import mapper as mapper_mod
+from gill_tpu.models import opt as opt_mod
+from gill_tpu.models.gill import GILLCore, IGNORE
+from gill_tpu.utils import image as image_utils
+from gill_tpu.utils.image import truncate_caption
+
+
+class GILL:
+    def __init__(self, core: GILLCore, params: dict, tokenizer,
+                 sd_pipe=None, retrieval_index=None, decision_params=None,
+                 num_gen_images: int = 1):
+        self.core = core
+        self.params = params
+        self.tokenizer = tokenizer
+        self.sd_pipe = sd_pipe
+        self.index = retrieval_index
+        self.decision_params = decision_params
+        self.num_gen_images = num_gen_images
+        self.idx2dec = decision_mod.IDX2DEC
+
+        self._vis_fn = jax.jit(
+            lambda p, px: self.core.get_visual_embs(p, px, "captioning"))
+        self._ret_vis_fn = jax.jit(
+            lambda p, px: self.core.get_visual_embs(p, px, "retrieval"))
+        self._ret_map_fn = jax.jit(lambda p, h: mapper_mod.apply(
+            p["adapters"]["ret_fc"], self.core.ret_mapper_cfg, h, None))
+        self._gen_map_fn = jax.jit(lambda p, h, e: mapper_mod.apply(
+            p["adapters"]["gen_fc"], self.core.gen_mapper_cfg, h, e))
+
+    # -- prompt assembly -------------------------------------------------------
+
+    def _encode_prompts(self, prompts: List, always_add_bos: bool = False):
+        """Interleaved [PIL.Image | str] -> (embs (1,T,E), ids (1,T) with
+        IGNORE at image positions). BOS added once unless always_add_bos
+        (reference models.py:600-626)."""
+        embs, ids = [], []
+        add_bos = True
+        for p in prompts:
+            if isinstance(p, Image.Image):
+                px = image_utils.clip_preprocess(p, self.core.cfg.image_size)
+                v = self._vis_fn(self.params, jnp.asarray(px)[None])
+                embs.append(v)
+                ids.append(np.full((1, v.shape[1]), IGNORE, np.int32))
+            elif isinstance(p, str):
+                tids = self.tokenizer.encode(p, add_special_tokens=add_bos)
+                if not always_add_bos:
+                    add_bos = False
+                tids = np.asarray([tids], np.int32)
+                embs.append(self.core.embed_tokens(self.params,
+                                                   jnp.asarray(tids)))
+                ids.append(tids)
+            else:
+                raise ValueError(
+                    f"Input prompts should be PIL.Image.Image or str, got "
+                    f"{type(p)}")
+        return (jnp.concatenate([e.astype(jnp.float32) for e in embs], axis=1),
+                np.concatenate(ids, axis=1))
+
+    # -- main API ---------------------------------------------------------------
+
+    def generate_for_images_and_texts(
+            self, prompts: List, num_words: int = 0, min_word_tokens: int = 0,
+            ret_scale_factor: float = 1.0, gen_scale_factor: float = 1.0,
+            top_p: float = 1.0, temperature: float = 0.0,
+            max_num_rets: int = 1, generator=None,
+            always_add_bos: bool = False, guidance_scale: float = 7.5,
+            num_inference_steps: int = 50):
+        """See reference gill/models.py:582-762 for the contract."""
+        input_embs, _ = self._encode_prompts(prompts, always_add_bos)
+        if num_words <= 0:
+            raise NotImplementedError(
+                "Generation not implemented for num_words=0.")
+
+        rng = generator if generator is not None else jax.random.PRNGKey(0)
+        out = self.core.generate(
+            self.params, input_embs, num_words=num_words,
+            min_word_tokens=min_word_tokens, temperature=temperature,
+            top_p=top_p, ret_scale_factor=ret_scale_factor,
+            gen_scale_factor=gen_scale_factor, max_img_runs=max_num_rets,
+            rng=rng)
+        tokens = np.asarray(out["tokens"][0])
+        valid = np.asarray(out["valid"][0])
+        tokens = tokens[valid]
+        hidden = out["hidden"][0]  # device array (S, E)
+
+        # Truncate at the first newline (reference models.py:635-644).
+        nl_id = self.tokenizer.encode("\n", add_special_tokens=False)[0]
+        nl = np.nonzero(tokens == nl_id)[0]
+        if len(nl) and nl[0] > 0:
+            tokens = tokens[: nl[0]]
+
+        nt = self.core.cfg.num_tokens
+        img0 = self.core.img_start
+        ret_starts = [int(i) for i in np.nonzero(tokens == img0)[0]
+                      ][:max_num_rets]
+        # Keep only complete contiguous [IMG0..n) runs (models.py:661).
+        ret_starts = [
+            i for i in ret_starts
+            if i + nt <= len(tokens)
+            and tokens[i:i + nt].tolist() == list(range(img0, img0 + nt))]
+
+        return_outputs: List = []
+        if not ret_starts:
+            caption = self.tokenizer.decode(tokens, skip_special_tokens=True)
+            return_outputs.append(truncate_caption(caption))
+            return return_outputs
+
+        gen_prefix = "".join(f"[IMG{i}]" for i in range(nt))
+        gen_prefix_ids = np.asarray(
+            [self.tokenizer.encode(gen_prefix, add_special_tokens=False)],
+            np.int32)
+        gen_prefix_embs = self.core.embed_tokens(self.params,
+                                                 jnp.asarray(gen_prefix_ids))
+
+        seen_image_idx: List[int] = []
+        last_ret_idx = 0
+        for ret_idx in ret_starts:
+            raw_emb = hidden[None, ret_idx: ret_idx + nt, :]  # (1, nt, E)
+            image_outputs = {"gen": [], "ret": [], "decision": None}
+
+            ret_emb = None
+            if self.index is not None:
+                ret_emb = self._ret_map_fn(self.params, raw_emb)[:, 0, :]
+                ret_emb = ret_emb / jnp.linalg.norm(ret_emb, axis=-1,
+                                                    keepdims=True)
+                scores, top_idx = self.index.topk(
+                    np.asarray(ret_emb[0]), k=3, seen_idx=seen_image_idx)
+                for s, i in zip(scores, top_idx):
+                    try:
+                        seen_image_idx.append(int(i))
+                        img = image_utils.get_image_from_url(
+                            self.index.paths[int(i)])
+                        image_outputs["ret"].append((img, "ret", float(s)))
+                        if len(image_outputs["ret"]) >= max_num_rets:
+                            break
+                    except Exception:  # bad URL/image: try the next one
+                        pass
+                if self.decision_params is not None:
+                    label, probs = decision_mod.decide(
+                        self.decision_params, raw_emb[:, 0, :])
+                    image_outputs["decision"] = [label] + probs
+            else:
+                image_outputs["decision"] = ["gen", [0, 1]]
+
+            # Generation embedding via GILLMapper (models.py:706-719).
+            gen_emb = self._gen_map_fn(self.params, raw_emb,
+                                       gen_prefix_embs.astype(raw_emb.dtype))
+            nct = self.core.cfg.num_clip_tokens
+            if gen_emb.shape[1] != nct:
+                pad = jnp.zeros((gen_emb.shape[0], nct - gen_emb.shape[1],
+                                 gen_emb.shape[2]), gen_emb.dtype)
+                gen_emb = jnp.concatenate([gen_emb, pad], axis=1)
+
+            if self.sd_pipe is not None:
+                gen_emb_rep = jnp.broadcast_to(
+                    gen_emb, (self.num_gen_images,) + gen_emb.shape[1:])
+                gen_max_bs = 8
+                images = []
+                for i in range(0, self.num_gen_images, gen_max_bs):
+                    arr = self.sd_pipe(
+                        prompt_embeds=gen_emb_rep[i:i + gen_max_bs],
+                        guidance_scale=guidance_scale,
+                        num_inference_steps=num_inference_steps,
+                        rng=rng)
+                    images.extend(self._to_pil(arr))
+                if self.index is not None and ret_emb is not None:
+                    # Re-rank generated images by CLIP-space retrieval score
+                    # (models.py:739-751) — scored on device.
+                    px = np.stack([image_utils.clip_preprocess(
+                        im.resize((224, 224)).convert("RGB"),
+                        self.core.cfg.image_size) for im in images])
+                    vis = self._ret_vis_fn(self.params, jnp.asarray(px))[:, 0]
+                    vis = vis / jnp.linalg.norm(vis, axis=-1, keepdims=True)
+                    rank_scores = np.asarray(vis @ ret_emb[0])
+                    order = np.argsort(-rank_scores)
+                    if self.num_gen_images > 1:
+                        image_outputs["gen"] = [
+                            (images[int(j)], float(rank_scores[int(j)]))
+                            for j in order]
+                    else:
+                        image_outputs["gen"] = [(images[0],
+                                                 float(rank_scores[0]))]
+                else:
+                    image_outputs["gen"] = [(images[0], 0)]
+            else:
+                image_outputs["gen"] = [np.asarray(gen_emb)]
+
+            caption = self.tokenizer.decode(tokens[last_ret_idx:ret_idx],
+                                            skip_special_tokens=True)
+            last_ret_idx = ret_idx + 1
+            return_outputs.append(truncate_caption(caption) + f" {gen_prefix}")
+            return_outputs.append(image_outputs)
+        return return_outputs
+
+    @staticmethod
+    def _to_pil(arr) -> List[Image.Image]:
+        arr = np.asarray(arr)
+        return [Image.fromarray((a * 255).round().astype(np.uint8))
+                for a in arr]
+
+    def get_log_likelihood_scores(self, prompts: List) -> float:
+        """-CE of the interleaved sequence, image positions label-masked
+        (reference models.py:764-807)."""
+        embs, ids = self._encode_prompts(prompts)
+        out = opt_mod.forward(self.params["lm"], self.core.opt_cfg,
+                              embs, lm_head=self.core.lm_head_table(self.params))
+        loss = opt_mod.loss_fn(out["logits"], jnp.asarray(ids))
+        return -float(loss)
+
+
+def load_gill(model_dir: str, load_ret_embs: bool = True,
+              decision_model_fn: Optional[str] = "decision_model.pth.tar",
+              weights_dir: Optional[str] = None, load_sd: bool = True,
+              num_gen_images: int = 1, mesh=None,
+              dtype=jnp.bfloat16) -> GILL:
+    """Builds an inference GILL from a reference-format checkpoint directory
+    (model_args.json + pretrained_ckpt.pth.tar + cc3m*.npy + decision model;
+    reference load_gill, gill/models.py:810-902). Frozen backbone weights
+    come from `weights_dir` (see weights/loader.py search rules)."""
+    from gill_tpu.models import clip as clip_mod
+    from gill_tpu.models.sd import unet as unet_mod
+    from gill_tpu.models.sd import vae as vae_mod
+    from gill_tpu.models.sd.pipeline import (SDPipelineConfig,
+                                             StableDiffusionPipeline)
+    from gill_tpu.nn.core import cast_tree
+    from gill_tpu.retrieval import RetrievalIndex, load_embeddings
+    from gill_tpu.tokenizer import (GPT2BPETokenizer, load_tokenizer,
+                                    setup_gill_tokenizer)
+    from gill_tpu.utils import ckpt as ckpt_utils
+    from gill_tpu.weights import loader as wloader
+
+    cfg = GILLConfig.from_json(os.path.join(model_dir, "model_args.json"))
+
+    try:
+        tokenizer = load_tokenizer(cfg.opt_version)
+    except FileNotFoundError:
+        print("WARNING: tokenizer assets missing; tiny byte-level tokenizer.")
+        tokenizer = GPT2BPETokenizer.tiny()
+    img_ids = setup_gill_tokenizer(tokenizer, cfg.num_tokens)
+
+    core = GILLCore.build(cfg, vocab_len=len(tokenizer), img_start=img_ids[0],
+                          pad_token_id=tokenizer.pad_token_id,
+                          bos_token_id=tokenizer.bos_token_id)
+
+    lm = wloader.load_opt(cfg.opt_version, core.opt_cfg, len(tokenizer),
+                          weights_dir)
+    vision = wloader.load_clip_vision(cfg.visual_encoder, core.vis_cfg,
+                                      weights_dir)
+
+    ckpt_path = os.path.join(model_dir, "pretrained_ckpt.pth.tar")
+    if os.path.exists(ckpt_path):
+        adapters = jax.tree_util.tree_map(
+            jnp.asarray,
+            ckpt_utils.load_reference_gill_checkpoint(ckpt_path, core))
+    else:
+        npz = os.path.join(model_dir, "ckpt")
+        if os.path.exists(os.path.join(npz, "state.npz")):
+            tree, _ = ckpt_utils.load_checkpoint(npz)
+            adapters = jax.tree_util.tree_map(jnp.asarray, tree["adapters"])
+        else:
+            print("WARNING: no trained adapters found; random init.")
+            adapters = core.init_adapters(jax.random.PRNGKey(0))
+
+    params = cast_tree({"lm": lm, "vision": vision, "adapters": adapters},
+                       dtype)
+    # keep adapters fp32 for numerics of the small heads
+    params["adapters"] = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, adapters)
+
+    index = None
+    if load_ret_embs:
+        paths, mat = load_embeddings(model_dir)
+        if paths is not None:
+            scale = float(np.exp(np.asarray(adapters["logit_scale"],
+                                            np.float32)))
+            index = RetrievalIndex(paths, mat, scale, mesh=mesh)
+        else:
+            print(f"cc3m*.npy not found in {model_dir}; running without "
+                  f"retrieval.")
+
+    decision_params = None
+    if decision_model_fn:
+        dp = os.path.join(model_dir, decision_model_fn)
+        if os.path.exists(dp):
+            decision_params = jax.tree_util.tree_map(
+                jnp.asarray, ckpt_utils.load_reference_decision_model(dp))
+
+    sd_pipe = None
+    if load_sd:
+        sd_cfg = SDPipelineConfig()
+        sd_dir = None
+        for root in filter(None, [weights_dir,
+                                  os.environ.get("GILL_TPU_WEIGHTS_DIR")]):
+            cand = os.path.join(root, "stable-diffusion-v1-5")
+            if os.path.isdir(cand):
+                sd_dir = cand
+                break
+        if sd_dir is not None:
+            sd_params = wloader_sd(sd_dir, sd_cfg, dtype)
+        else:
+            print("WARNING: no local SD weights; random-init SD pipeline.")
+            k = jax.random.PRNGKey(0)
+            k1, k2, k3 = jax.random.split(k, 3)
+            sd_params = {
+                "unet": unet_mod.init(k1, sd_cfg.unet, dtype),
+                "vae_decoder": vae_mod.init_decoder(k2, sd_cfg.vae, dtype),
+                "text_encoder": clip_mod.init_text(k3, sd_cfg.text, dtype),
+            }
+        sd_tok = None
+        try:
+            from gill_tpu.tokenizer import CLIPBPETokenizer
+
+            if sd_dir and os.path.exists(os.path.join(sd_dir, "tokenizer",
+                                                      "vocab.json")):
+                sd_tok = CLIPBPETokenizer.from_files(
+                    os.path.join(sd_dir, "tokenizer", "vocab.json"),
+                    os.path.join(sd_dir, "tokenizer", "merges.txt"))
+        except Exception:
+            pass
+        sd_pipe = StableDiffusionPipeline(sd_cfg, sd_params, tokenizer=sd_tok)
+
+    return GILL(core, params, tokenizer, sd_pipe=sd_pipe,
+                retrieval_index=index, decision_params=decision_params,
+                num_gen_images=num_gen_images)
+
+
+def wloader_sd(sd_dir: str, sd_cfg, dtype=jnp.bfloat16) -> dict:
+    """Loads diffusers-layout SD weights (unet/, vae/, text_encoder/)."""
+    from gill_tpu.nn.core import cast_tree
+    from gill_tpu.weights.convert import (clip_text_from_torch,
+                                          sd_unet_from_torch,
+                                          sd_vae_decoder_from_torch)
+    from gill_tpu.weights.loader import load_state_dict_dir
+
+    unet_sd = load_state_dict_dir(os.path.join(sd_dir, "unet"))
+    vae_sd = load_state_dict_dir(os.path.join(sd_dir, "vae"))
+    text_sd = load_state_dict_dir(os.path.join(sd_dir, "text_encoder"))
+    params = {
+        "unet": sd_unet_from_torch(unet_sd, sd_cfg.unet),
+        "vae_decoder": sd_vae_decoder_from_torch(vae_sd, sd_cfg.vae),
+        "text_encoder": clip_text_from_torch(text_sd, sd_cfg.text),
+    }
+    return cast_tree(jax.tree_util.tree_map(jnp.asarray, params), dtype)

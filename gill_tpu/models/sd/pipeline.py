@@ -39,6 +39,7 @@ class SDPipelineConfig:
     scheduler: SchedulerConfig = dataclasses.field(
         default_factory=SchedulerConfig)
     vae_scale: int = 8
+    default_size: int = 512  # reference custom_sd.py:482-483 default
 
 
 def tiny_sd_config() -> SDPipelineConfig:
@@ -49,7 +50,7 @@ def tiny_sd_config() -> SDPipelineConfig:
                                      intermediate_size=48, num_layers=2,
                                      num_heads=2, max_positions=16,
                                      eos_token_id=513),
-        vae_scale=2)
+        vae_scale=2, default_size=16)
 
 
 class StableDiffusionPipeline:
@@ -90,8 +91,8 @@ class StableDiffusionPipeline:
     # -- main ------------------------------------------------------------------
 
     def __call__(self, prompt=None, *, prompt_embeds=None,
-                 negative_prompt_embeds=None, height: int = 512,
-                 width: int = 512, num_inference_steps: int = 50,
+                 negative_prompt_embeds=None, height: Optional[int] = None,
+                 width: Optional[int] = None, num_inference_steps: int = 50,
                  guidance_scale: float = 7.5, rng=None, latents=None,
                  return_prompts_only: bool = False,
                  truncate_side: str = "right", output_latents: bool = False):
@@ -117,6 +118,8 @@ class StableDiffusionPipeline:
             ctx = prompt_embeds
 
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        height = height or self.cfg.default_size
+        width = width or self.cfg.default_size
         h, w = height // self.cfg.vae_scale, width // self.cfg.vae_scale
         if latents is None:
             latents = jax.random.normal(

@@ -1,0 +1,132 @@
+"""Inference API tests: interleaved prompt encoding, [IMG]-triggered
+retrieval + decision + SD generation, output structure parity."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from gill_tpu.api import GILL
+from gill_tpu.models import decision as decision_mod
+from gill_tpu.models import clip as clip_mod
+from gill_tpu.models.sd import unet as unet_mod
+from gill_tpu.models.sd import vae as vae_mod
+from gill_tpu.models.sd.pipeline import StableDiffusionPipeline, tiny_sd_config
+from gill_tpu.retrieval import RetrievalIndex
+from gill_tpu.tokenizer import GPT2BPETokenizer, setup_gill_tokenizer
+
+from test_gill_forward import OPT_TINY, VIS_TINY, NUM_TOKENS
+from gill_tpu.config import GILLConfig
+from gill_tpu.models.gill import GILLCore
+
+
+@pytest.fixture(scope="module")
+def gill(tmp_path_factory):
+    tok = GPT2BPETokenizer.tiny()
+    img_ids = setup_gill_tokenizer(tok, NUM_TOKENS)
+    cfg = GILLConfig(n_visual_tokens=2, num_tokens=NUM_TOKENS,
+                     num_clip_tokens=16, ret_emb_dim=8, gen_emb_dim=24,
+                     image_size=16)
+    core = GILLCore(cfg=cfg, opt_cfg=OPT_TINY, vis_cfg=VIS_TINY,
+                    vocab_len=len(tok), img_start=img_ids[0],
+                    pad_token_id=tok.pad_token_id,
+                    bos_token_id=tok.bos_token_id)
+    params = core.init_params(jax.random.PRNGKey(0))
+
+    sd_cfg = tiny_sd_config()
+    sd_cfg.unet.cross_attention_dim = 24
+    sd_cfg.text.max_positions = 16
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    sd_params = {"unet": unet_mod.init(k1, sd_cfg.unet),
+                 "vae_decoder": vae_mod.init_decoder(k2, sd_cfg.vae)}
+    sd_pipe = StableDiffusionPipeline(sd_cfg, sd_params, tokenizer=None)
+
+    # fake retrieval index over local image files
+    tmp = tmp_path_factory.mktemp("ret")
+    paths = []
+    for i in range(5):
+        p = str(tmp / f"img{i}.png")
+        Image.fromarray(
+            np.random.RandomState(i).randint(0, 255, (16, 16, 3), np.uint8)
+        ).save(p)
+        paths.append(p)
+    emb_mat = np.random.RandomState(9).randn(5, 8).astype(np.float32)
+    index = RetrievalIndex(paths, emb_mat, logit_scale=10.0)
+
+    dec = decision_mod.init(jax.random.PRNGKey(2), in_dim=OPT_TINY.hidden_size)
+    return GILL(core, params, tok, sd_pipe=sd_pipe, retrieval_index=index,
+                decision_params=dec, num_gen_images=1)
+
+
+@pytest.fixture(autouse=True)
+def _local_image_fetch(monkeypatch):
+    from gill_tpu.utils import image as image_utils
+
+    def fake_fetch(url):
+        return Image.open(url).resize((224, 224)).convert("RGB")
+
+    monkeypatch.setattr(image_utils, "get_image_from_url", fake_fetch)
+    import gill_tpu.api as api_mod
+
+    monkeypatch.setattr(api_mod.image_utils, "get_image_from_url", fake_fetch)
+
+
+def _img():
+    return Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (20, 24, 3), np.uint8))
+
+
+def test_text_only_generation(gill):
+    out = gill.generate_for_images_and_texts(
+        [_img(), "Q: what is this?\nA:"], num_words=4, min_word_tokens=4)
+    assert len(out) == 1
+    assert isinstance(out[0], str)
+
+
+def test_img_triggered_generation_structure(gill):
+    out = gill.generate_for_images_and_texts(
+        ["a photo of"], num_words=2, gen_scale_factor=1e6,
+        num_inference_steps=2)
+    # [caption+' [IMG0..]', image_outputs]
+    assert len(out) == 2
+    assert isinstance(out[0], str) and "[IMG0]" in out[0]
+    d = out[1]
+    assert set(d.keys()) == {"gen", "ret", "decision"}
+    assert d["decision"] is not None and d["decision"][0] in ("gen", "ret")
+    # retrieval returned (img, 'ret', score) triples from the fake index
+    assert len(d["ret"]) >= 1
+    img, tag, score = d["ret"][0]
+    assert tag == "ret" and isinstance(img, Image.Image)
+    # generation returned a (PIL, score) pair
+    gimg, gscore = d["gen"][0]
+    assert isinstance(gimg, Image.Image)
+    assert gimg.size == (16, 16)
+
+
+def test_no_retrieval_defaults_to_gen(gill):
+    g2 = GILL(gill.core, gill.params, gill.tokenizer, sd_pipe=gill.sd_pipe,
+              retrieval_index=None, decision_params=None)
+    out = g2.generate_for_images_and_texts(
+        ["x"], num_words=2, gen_scale_factor=1e6, num_inference_steps=2)
+    assert out[1]["decision"] == ["gen", [0, 1]]
+    assert out[1]["ret"] == []
+
+
+def test_log_likelihood_scores(gill):
+    s1 = gill.get_log_likelihood_scores([_img(), "a dog"])
+    s2 = gill.get_log_likelihood_scores([_img(), "zzqqxx yy"])
+    assert np.isfinite(s1) and np.isfinite(s2)
+    assert s1 < 0 and s2 < 0
+
+
+def test_retrieval_index_topk_and_downweight():
+    emb = np.eye(4, dtype=np.float32)
+    idx = RetrievalIndex([f"p{i}" for i in range(4)], emb, logit_scale=1.0)
+    q = np.asarray([1.0, 0, 0, 0], np.float32)
+    scores, top = idx.topk(q, k=2)
+    assert top[0] == 0
+    scores2, top2 = idx.topk(q, k=2, seen_idx=[0])
+    assert top2[0] != 0

@@ -130,6 +130,16 @@ def vision_forward(params, cfg: CLIPVisionConfig, pixel_values):
     return {"last_hidden": h, "pooler_output": pooled}
 
 
+def get_image_features(params, cfg: CLIPVisionConfig, pixel_values):
+    """pooler_output -> CLIP joint space via visual_projection (HF
+    CLIPModel.get_image_features; the similarity metric used by the
+    reference evals, evals/compute_clip_similarity_vist.py:40-51)."""
+    pooled = vision_forward(params, cfg, pixel_values)["pooler_output"]
+    assert "visual_projection" in params, \
+        "load full CLIP weights (with visual_projection) for image features"
+    return nn.linear(params["visual_projection"], pooled)
+
+
 # ---------------------------------------------------------------------------
 # text tower
 # ---------------------------------------------------------------------------

@@ -125,8 +125,11 @@ def load_reference_gill_checkpoint(path: str, core) -> dict:
 
 
 def load_reference_decision_model(path: str) -> dict:
-    """`decision_model.pth.tar` -> {"w": (4096, 2), "b": (2,)}
-    (reference gill/models.py:553-561)."""
+    """decision_model.pth.tar (torch) or .npz (ours) ->
+    {"w": (4096, 2), "b": (2,)} (reference gill/models.py:553-561)."""
+    if path.endswith(".npz"):
+        z = np.load(path)
+        return {"w": z["w"], "b": z["b"]}
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)

@@ -108,7 +108,7 @@ def clip_vision_from_torch(sd, cfg) -> dict:
             "fc1": _lin(sd, f"{p}.mlp.fc1"),
             "fc2": _lin(sd, f"{p}.mlp.fc2"),
         })
-    return {
+    out = {
         "class_embedding": _np(sd["embeddings.class_embedding"]),
         "patch_embedding": {
             "w": _np(sd["embeddings.patch_embedding.weight"]).transpose(2, 3, 1, 0)
@@ -118,6 +118,10 @@ def clip_vision_from_torch(sd, cfg) -> dict:
         "layers": _stack(layers),
         "post_ln": _ln(sd, "post_layernorm"),
     }
+    # Present when converting a full CLIPModel (used by the CLIP-sim evals).
+    if "visual_projection.weight" in sd:
+        out["visual_projection"] = _lin(sd, "visual_projection")
+    return out
 
 
 def clip_text_from_torch(sd, cfg) -> dict:

@@ -246,8 +246,11 @@ def _spatial_tfm(p, x, ctx, num_heads: int, groups: int):
 
 
 def _upsample(p, x):
+    # nearest 2x as broadcast+reshape (tiles cleanly on TPU; jax.image.resize
+    # lowers to gathers).
     b, h, w, c = x.shape
-    x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    x = x.reshape(b, h * 2, w * 2, c)
     return nn.conv2d(p, x, padding=1)
 
 

@@ -160,7 +160,8 @@ def decode(params, cfg: VAEConfig, latents, scale: bool = True):
             x = _resnet(res, x, g)
         if "upsample" in block:
             b, h, w, c = x.shape
-            x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+            x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                                 (b, h, 2, w, 2, c)).reshape(b, 2 * h, 2 * w, c)
             x = nn.conv2d(block["upsample"], x, padding=1)
     x = nn.group_norm(params["norm_out"], x, g, eps=1e-6)
     x = nn.conv2d(params["conv_out"], jax.nn.silu(x), padding=1)

@@ -94,6 +94,11 @@ def parse_args(argv):
                         "$GILL_TPU_TOKENIZER_DIR, else tiny byte-level)")
     p.add_argument("--platform", default=None,
                    help="force jax platform, e.g. cpu")
+    p.add_argument("--profile-steps", default=0, type=int,
+                   help="capture a jax.profiler trace of the first N steps")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (TPU pods; "
+                        "replaces the reference's NCCL rendezvous)")
     return p.parse_args(argv)
 
 
@@ -130,6 +135,9 @@ def main(argv):
 
         jax.config.update("jax_platforms", args.platform)
     import jax
+
+    if args.multihost:
+        jax.distributed.initialize()
     import jax.numpy as jnp
 
     from gill_tpu.config import GILLConfig, TrainConfig
@@ -310,10 +318,28 @@ def main(argv):
                 data_time.update(time.time() - end)
                 concat = bool(rng.uniform() < tc.concat_captions_prob) and \
                     (tc.batch_size % 2 == 0)
+                actual_step = epoch * tc.steps_per_epoch + i + 1
+                if args.profile_steps and actual_step == 2:
+                    jax.profiler.start_trace(os.path.join(log_dir, "trace"))
                 state, metrics = step_fn(state, frozen, put_batch(batch),
                                          concat=concat)
-                actual_step = epoch * tc.steps_per_epoch + i + 1
+                if args.profile_steps and \
+                        actual_step == 1 + args.profile_steps:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), metrics)
+                    jax.profiler.stop_trace()
                 if actual_step == 1 or (i + 1) % tc.print_freq == 0:
+                    # TB image grid of (denormalized) inputs
+                    # (reference main.py:675-720 logs input/caption grids).
+                    if writer is not None and "pixels" in batch:
+                        from gill_tpu.utils.image import CLIP_MEAN, CLIP_STD, \
+                            make_grid
+
+                        px = np.asarray(batch["pixels"][:16])
+                        px = np.clip(px * CLIP_STD + CLIP_MEAN, 0, 1)
+                        grid = make_grid(px, nrow=4)
+                        writer.add_image("train/images",
+                                         grid.transpose(2, 0, 1), actual_step)
                     metrics = {k: float(v) for k, v in metrics.items()}
                     for k, m in meters.items():
                         m.update(metrics[k if k != "cap_ce" else "cap_ce"],

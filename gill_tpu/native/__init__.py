@@ -1,0 +1,101 @@
+"""Native (C++) components, loaded via ctypes with build-on-demand.
+
+`get_bpe_engine(vocab, bpe_ranks)` returns a fast merge engine for
+byte-level BPE, or None when no C++ toolchain is available (callers fall
+back to the pure-Python implementation).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Dict, Optional, Sequence, Tuple
+
+_HERE = os.path.dirname(__file__)
+_LIB_PATH = os.path.join(_HERE, "libgillbpe.so")
+_LOCK = threading.Lock()
+_LIB = None
+_BUILD_FAILED = False
+
+
+def _load_lib():
+    global _LIB, _BUILD_FAILED
+    with _LOCK:
+        if _LIB is not None or _BUILD_FAILED:
+            return _LIB
+        src = os.path.join(_HERE, "bpe.cpp")
+        if not os.path.exists(_LIB_PATH) or (
+                os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)):
+            try:
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                     src, "-o", _LIB_PATH],
+                    check=True, capture_output=True, timeout=120)
+            except Exception:
+                _BUILD_FAILED = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.bpe_new.restype = ctypes.c_void_p
+            lib.bpe_new.argtypes = [ctypes.POINTER(ctypes.c_int32)] * 3 + [
+                ctypes.c_int32]
+            lib.bpe_encode.restype = ctypes.c_int32
+            lib.bpe_encode.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
+            lib.bpe_free.restype = None
+            lib.bpe_free.argtypes = [ctypes.c_void_p]
+            _LIB = lib
+        except OSError:
+            _BUILD_FAILED = True
+        return _LIB
+
+
+class BPEEngine:
+    """Int-space BPE: symbols are vocab ids; merges from bpe_ranks."""
+
+    def __init__(self, lib, handle):
+        self._lib = lib
+        self._handle = handle
+
+    def encode(self, sym_ids: Sequence[int]) -> list:
+        n = len(sym_ids)
+        if n <= 1:
+            return list(sym_ids)
+        arr = (ctypes.c_int32 * n)(*sym_ids)
+        out = (ctypes.c_int32 * n)()
+        m = self._lib.bpe_encode(self._handle, arr, n, out)
+        return list(out[:m])
+
+    def __del__(self):
+        try:
+            if self._handle:
+                self._lib.bpe_free(self._handle)
+        except Exception:
+            pass
+
+
+def get_bpe_engine(vocab: Dict[str, int],
+                   bpe_ranks: Dict[Tuple[str, str], int]
+                   ) -> Optional[BPEEngine]:
+    """Builds the int-space rule table from string merges. Returns None when
+    the native library is unavailable or a merge result is not in vocab."""
+    lib = _load_lib()
+    if lib is None or not bpe_ranks:
+        return None
+    n = len(bpe_ranks)
+    left = (ctypes.c_int32 * n)()
+    right = (ctypes.c_int32 * n)()
+    merged = (ctypes.c_int32 * n)()
+    for (a, b), rank in bpe_ranks.items():
+        m = vocab.get(a + b)
+        la, rb = vocab.get(a), vocab.get(b)
+        if m is None or la is None or rb is None:
+            return None  # exotic vocab; python fallback
+        left[rank], right[rank], merged[rank] = la, rb, m
+    handle = lib.bpe_new(left, right, merged, n)
+    if not handle:
+        return None
+    return BPEEngine(lib, handle)

@@ -58,11 +58,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
 
     q_ref: (block_q, d); k_ref/v_ref: (seq_k, d); o_ref: (block_q, d).
     kv_offset = seq_k - seq_q (for cached decode causal alignment).
+    Matmuls run with bf16 inputs + fp32 accumulation (full-rate MXU);
+    softmax statistics stay fp32.
     """
     block_q, d = q_ref.shape
     qi = pl.program_id(1)
 
-    q = q_ref[:].astype(jnp.float32) * scale
+    q = q_ref[:]  # keep input dtype for the MXU
 
     m = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
     l = jnp.zeros((block_q, 1), jnp.float32)
@@ -72,12 +74,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
 
     def body(kb, carry):
         m, l, acc = carry
-        k_blk = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[pl.ds(kb * block_k, block_k), :]
         s_blk = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (block_q, block_k)
+        ) * scale  # (block_q, block_k) fp32
         if causal:
             q_pos = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0) + kv_offset
@@ -89,7 +91,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + p.sum(axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
@@ -115,7 +117,7 @@ def _pad_to(x, size: int, axis: int):
 
 @functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k"))
 def flash_attention(q, k, v, *, causal: bool = False,
-                    block_q: int = 256, block_k: int = 256):
+                    block_q: int = 512, block_k: int = 512):
     """Pallas flash attention. q (B,T,H,D), k/v (B,S,H,D) -> (B,T,H,D)."""
     b, t, h, d = q.shape
     s = k.shape[1]
@@ -199,10 +201,12 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
     path otherwise (CPU tests, single-token decode, biased attention).
     """
     scale = 1.0 / math.sqrt(q.shape[-1])
+    # flash pays off for long KV sequences; short-KV (e.g. 77-token
+    # cross-attention) and single-token decode stay on the fused XLA path.
     use_flash = (
         impl == "flash"
         or (impl == "auto" and _on_tpu() and bias is None and kv_offset is None
-            and q.shape[1] > 1)
+            and q.shape[1] > 1 and k.shape[1] >= 256)
     )
     if use_flash:
         return flash_attention(q, k, v, causal=causal)

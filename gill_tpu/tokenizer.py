@@ -89,6 +89,16 @@ class GPT2BPETokenizer:
         merges = [tuple(m.split()) for m in merges if m and not m.startswith("#")]
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
         self._bpe_cache: Dict[str, str] = {}
+        self._id_cache: Dict[str, List[int]] = {}
+
+        # Optional native (C++) merge engine for the hot path; None -> the
+        # pure-Python BPE below.
+        try:
+            from gill_tpu.native import get_bpe_engine
+
+            self._native = get_bpe_engine(self.encoder, self.bpe_ranks)
+        except Exception:
+            self._native = None
 
         self.bos_token, self.eos_token = bos_token, eos_token
         self.unk_token = unk_token
@@ -173,8 +183,18 @@ class GPT2BPETokenizer:
         unk_id = self.encoder.get(self.unk_token, 3)
         for tok in _PAT.findall(text):
             tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
-            for piece in self._bpe(tok).split(" "):
-                ids.append(self.encoder.get(piece, unk_id))
+            cached = self._id_cache.get(tok)
+            if cached is not None:
+                ids.extend(cached)
+                continue
+            if self._native is not None:
+                syms = [self.encoder.get(c, unk_id) for c in tok]
+                out = self._native.encode(syms)
+            else:
+                out = [self.encoder.get(piece, unk_id)
+                       for piece in self._bpe(tok).split(" ")]
+            self._id_cache[tok] = out
+            ids.extend(out)
         return ids
 
     def _split_on_added(self, text: str) -> List[str]:

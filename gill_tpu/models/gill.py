@@ -349,6 +349,46 @@ class GILLCore:
                  gen_scale_factor: float = 1.0, max_img_runs: int = 1,
                  rng: Optional[jax.Array] = None,
                  max_cache_len: Optional[int] = None):
+        """jit-cached wrapper over _generate_impl (one compile per static
+        decode configuration; prompt length buckets to reduce recompiles)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        b, t_in, e = input_embs.shape
+        # bucket prompt length to multiples of 16 (pad with zeros on the
+        # left is wrong for causal decode; pad on the right shifts positions,
+        # so we pad the *cache budget* instead and keep t_in exact for short
+        # prompts; bucketing only caps recompilation for long chat contexts).
+        if max_cache_len is None:
+            steps = num_words + (self.cfg.num_tokens - 1) * max_img_runs
+            max_cache_len = -(-(t_in + steps) // 64) * 64
+        statics = (num_words, min_word_tokens, float(temperature),
+                   float(top_p), float(ret_scale_factor),
+                   float(gen_scale_factor), max_img_runs, max_cache_len,
+                   b, t_in, e)
+        cache = getattr(self, "_gen_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_gen_cache", cache)
+        fn = cache.get(statics)
+        if fn is None:
+            def impl(params, input_embs, rng):
+                return self._generate_impl(
+                    params, input_embs, num_words=num_words,
+                    min_word_tokens=min_word_tokens, temperature=temperature,
+                    top_p=top_p, ret_scale_factor=ret_scale_factor,
+                    gen_scale_factor=gen_scale_factor,
+                    max_img_runs=max_img_runs, max_cache_len=max_cache_len,
+                    rng=rng)
+
+            fn = jax.jit(impl)
+            cache[statics] = fn
+        return fn(params, input_embs, rng)
+
+    def _generate_impl(self, params, input_embs, *, num_words: int = 32,
+                       min_word_tokens: int = 0, temperature: float = 0.0,
+                       top_p: float = 1.0, ret_scale_factor: float = 1.0,
+                       gen_scale_factor: float = 1.0, max_img_runs: int = 1,
+                       rng: Optional[jax.Array] = None,
+                       max_cache_len: Optional[int] = None):
         """KV-cached lax.scan decoding with [IMG] logic (parity target:
         reference GILLModel.generate, gill/models.py:443-532, which
         re-forwards the full prefix per token with use_cache=False).

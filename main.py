@@ -252,10 +252,16 @@ def main(argv):
     val_ds = get_dataset(args, "val", tokenizer, img_ids)
     print(f"Training with {len(train_ds)} examples, validating with "
           f"{len(val_ds)}.", flush=True)
-    train_loader = DataLoader(train_ds, tc.batch_size, shuffle=True,
-                              seed=args.seed or 0, num_threads=args.workers)
-    val_loader = DataLoader(val_ds, tc.val_batch_size or tc.batch_size,
-                            shuffle=False, num_threads=args.workers)
+    # Per-host interleaved shard (DistributedSampler equivalent); with one
+    # process rank=0/world=1.
+    rank, world = jax.process_index(), jax.process_count()
+    per_host = tc.batch_size // world
+    train_loader = DataLoader(train_ds, per_host, shuffle=True,
+                              seed=args.seed or 0, num_threads=args.workers,
+                              rank=rank, world=world)
+    val_loader = DataLoader(val_ds, (tc.val_batch_size or tc.batch_size) // world,
+                            shuffle=False, num_threads=args.workers,
+                            rank=rank, world=world)
 
     prefix_ids = np.asarray(
         tokenizer(args.input_prompt, add_special_tokens=False).input_ids,

@@ -120,8 +120,49 @@ def bench_opt_decode(model, batch, prompt_len, gen_len):
     return toks_per_sec, baseline_toks_per_sec
 
 
+def bench_sd_decode(batch: int, steps: int = 50, size: int = 512):
+    """SD v1.5 512^2 CFG denoise throughput (img/s/chip). Weights are zeros
+    (same compute/traffic as real weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gill_tpu.models.sd import unet as unet_mod
+    from gill_tpu.models.sd.pipeline import (SDPipelineConfig,
+                                             StableDiffusionPipeline)
+
+    cfg = SDPipelineConfig()
+    unet_p = jax.tree_util.tree_map(
+        lambda x: jnp.zeros(x.shape, jnp.bfloat16),
+        unet_mod.init(jax.random.PRNGKey(0), cfg.unet))
+    pipe = StableDiffusionPipeline(cfg, {"unet": unet_p, "vae_decoder": None})
+
+    ctx = jnp.zeros((2 * batch, 77, 768), jnp.bfloat16)
+    lat = jnp.zeros((batch, size // 8, size // 8, 4), jnp.bfloat16)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def denoise_n(lat, ctx, n):
+        return pipe.denoise(lat, ctx, n, 7.5).astype(jnp.float32).sum()
+
+    n1, n2 = 2, 10
+    t1 = _timed_scalar(lambda l, c: denoise_n(l, c, n1), lat, ctx)
+    t2 = _timed_scalar(lambda l, c: denoise_n(l, c, n2), lat, ctx)
+    per_step = max((t2 - t1) / (n2 - n1), 1e-9)
+    return batch / (steps * per_step)
+
+
 def main():
     _enable_compile_cache()
+    if os.environ.get("GILL_BENCH", "opt") == "sd":
+        batch = int(os.environ.get("GILL_BENCH_BATCH", "4"))
+        v = bench_sd_decode(batch)
+        print(json.dumps({
+            "metric": "sd15_512px_50step_images_per_sec_per_chip",
+            "value": round(v, 3),
+            "unit": "img/s/chip",
+            # north-star target from BASELINE.json: 2 img/s/chip on v5e
+            "vs_baseline": round(v / 2.0, 3),
+        }))
+        return
     # Default: opt-2.7b @ batch 16 — the largest OPT preset whose weights
     # leave room for a serving-sized batch on one 16GB v5e chip (opt-6.7b
     # fits only batch<=2 single-chip: 13.4GB weights; run it via

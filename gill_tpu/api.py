@@ -53,6 +53,31 @@ class GILL:
         self._gen_map_fn = jax.jit(lambda p, h, e: mapper_mod.apply(
             p["adapters"]["gen_fc"], self.core.gen_mapper_cfg, h, e))
 
+    def __call__(self, images, tgt_tokens=None, caption_len=None,
+                 generate: bool = False, num_words: int = 32,
+                 temperature: float = 1.0, top_p: float = 1.0,
+                 ret_scale_factor: float = 1.0, gen_scale_factor: float = 1.0,
+                 min_word_tokens: int = 0, mode: str = "captioning",
+                 concat_captions: bool = False, input_prefix=None):
+        """Train-forward vs generate dispatch (reference GILL.__call__,
+        gill/models.py:563-580). `images` is pixel values (B,H,W,3) for
+        training or prompt embeddings (B,T,E) when generate=True."""
+        if generate:
+            return self.core.generate(
+                self.params, images, num_words=num_words,
+                temperature=temperature, top_p=top_p,
+                min_word_tokens=min_word_tokens,
+                ret_scale_factor=ret_scale_factor,
+                gen_scale_factor=gen_scale_factor)
+        prefix_ids = None
+        if input_prefix:
+            prefix_ids = jnp.asarray(
+                self.tokenizer.encode(input_prefix, add_special_tokens=False),
+                jnp.int32)
+        return self.core.forward(self.params, images, tgt_tokens, caption_len,
+                                 mode=mode, concat_captions=concat_captions,
+                                 prefix_ids=prefix_ids)
+
     # -- prompt assembly -------------------------------------------------------
 
     def _encode_prompts(self, prompts: List, always_add_bos: bool = False):

@@ -57,13 +57,21 @@ class StableDiffusionPipeline:
     """Functional pipeline: params are explicit, __call__ is jit-friendly."""
 
     def __init__(self, cfg: SDPipelineConfig, params: dict, tokenizer=None,
-                 scheduler: Optional[PNDMScheduler] = None):
+                 scheduler: Optional[PNDMScheduler] = None,
+                 safety_checker=None):
         """params: {"unet", "vae_decoder", optional "text_encoder",
-        optional "vae_encoder"}."""
+        optional "vae_encoder"}.
+
+        safety_checker: optional callable(images (B,H,W,3) in [0,1]) ->
+        (images, has_nsfw: list[bool]) applied after decode — the hook the
+        reference's StableDiffusionSafetyChecker occupies
+        (custom_sd.py:653-661). Default None = no filtering.
+        """
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.scheduler = scheduler or PNDMScheduler(cfg.scheduler)
+        self.safety_checker = safety_checker
         # latent channel count for shape math
         self.latent_channels = cfg.vae.latent_channels
 
@@ -130,7 +138,10 @@ class StableDiffusionPipeline:
                                guidance_scale)
         if output_latents:
             return latents
-        return self.decode_latents(latents)
+        images = self.decode_latents(latents)
+        if self.safety_checker is not None:
+            images, _ = self.safety_checker(images)
+        return images
 
     @partial(jax.jit, static_argnames=("self", "num_inference_steps",
                                        "guidance_scale"))

@@ -176,14 +176,18 @@ class GILLCore:
         masked = jnp.cumsum(trig.astype(jnp.int32), axis=1) > 0
         return jnp.where(masked, IGNORE, tokens)
 
-    def first_pad_idx(self, tokens):
-        """Index of first padding position per row; T if none (the packing
-        split point, reference models.py:289-297 `pad_idx`)."""
+    def first_pad_idx(self, tokens, mode: str = "retrieval"):
+        """Packing split point per row (reference `pad_idx`): first pad for
+        ret/gen (models.py:289-297); first pad OR any [IMG] for captioning
+        (models.py:218-227, where the [IMG] run is excluded from the packed
+        content). T if no trigger."""
         t = tokens.shape[1]
-        is_pad = tokens == self.pad_token_id
-        any_pad = is_pad.any(axis=1)
-        first = jnp.argmax(is_pad.astype(jnp.int32), axis=1)
-        return jnp.where(any_pad, first, t)
+        trig = tokens == self.pad_token_id
+        if mode == "captioning":
+            trig = trig | self._is_img(tokens, True)
+        any_trig = trig.any(axis=1)
+        first = jnp.argmax(trig.astype(jnp.int32), axis=1)
+        return jnp.where(any_trig, first, t)
 
     # -- static pair packing (concat_captions) --------------------------------
 
@@ -272,7 +276,7 @@ class GILLCore:
                  self.mask_labels(tokens, mode)], axis=1)
             last_idx = last_idx + cond_len
             bos_pos = cond_len
-            valid_len = self.first_pad_idx(tokens) + cond_len
+            valid_len = self.first_pad_idx(tokens, mode) + cond_len
         else:
             if prefix_embs is not None:
                 embs = jnp.concatenate([prefix_embs, text_embs], axis=1)
@@ -284,7 +288,7 @@ class GILLCore:
                 embs = text_embs
                 labels = self.mask_labels(tokens, mode)
             bos_pos = n_prefix
-            valid_len = self.first_pad_idx(tokens) + n_prefix
+            valid_len = self.first_pad_idx(tokens, mode) + n_prefix
 
         if concat_captions:
             embs, labels, last_pair = self.pack_pairs(

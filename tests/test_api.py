@@ -130,3 +130,23 @@ def test_retrieval_index_topk_and_downweight():
     assert top[0] == 0
     scores2, top2 = idx.topk(q, k=2, seen_idx=[0])
     assert top2[0] != 0
+
+
+def test_retrieval_index_sharded_over_mesh():
+    """The 3GB-index-equivalent sharded over the 8-device data axis must
+    return identical top-k to the unsharded index (incl. row padding)."""
+    from gill_tpu.parallel import create_mesh
+
+    rng = np.random.RandomState(0)
+    n, d = 37, 16  # deliberately not a multiple of 8 -> padding path
+    emb = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(d).astype(np.float32)
+    q = q / np.linalg.norm(q)
+    idx1 = RetrievalIndex([f"p{i}" for i in range(n)], emb, logit_scale=7.0)
+    mesh = create_mesh(dp_size=8, tp_size=1)
+    idx2 = RetrievalIndex([f"p{i}" for i in range(n)], emb, logit_scale=7.0,
+                          mesh=mesh)
+    s1, t1 = idx1.topk(q, k=5, seen_idx=[3])
+    s2, t2 = idx2.topk(q, k=5, seen_idx=[3])
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)

@@ -155,6 +155,18 @@ def test_concat_captions_forward(core_params):
     assert out["logits"].shape[1] == 2 * nv_t - 1
 
 
+def test_first_pad_idx_mode_semantics(core_params):
+    """Captioning packs split BEFORE the [IMG] run (reference
+    models.py:218-227); ret/gen split at the first pad (models.py:289-297)."""
+    core, _ = core_params
+    tokens = jnp.array([[BOS, 10, 11, IMG_START, IMG_START + 1,
+                         IMG_START + 2, IMG_START + 3, PAD]])
+    assert int(core.first_pad_idx(tokens, "captioning")[0]) == 3
+    assert int(core.first_pad_idx(tokens, "retrieval")[0]) == 7
+    no_pad = jnp.array([[BOS, 10, 11, 12, 13, 14, 15, 16]])
+    assert int(core.first_pad_idx(no_pad, "retrieval")[0]) == 8
+
+
 def test_renorm_img_embeddings(core_params):
     core, params = core_params
     p2 = core.renorm_img_embeddings(params)

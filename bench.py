@@ -150,9 +150,85 @@ def bench_sd_decode(batch: int, steps: int = 50, size: int = 512):
     return batch / (steps * per_step)
 
 
+def bench_train_step(opt_name: str, batch: int, max_len: int = 32):
+    """Full 3-mode GILL train step throughput (examples/s/chip), bf16 frozen
+    backbones + fp32 adapters, random weights."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gill_tpu.config import (CLIPVisionConfig, GILLConfig, OPTConfig,
+                                 TrainConfig)
+    from gill_tpu.models import clip as clip_mod
+    from gill_tpu.models import opt as opt_mod
+    from gill_tpu.models.gill import GILLCore
+    from gill_tpu.nn.core import cast_tree
+    from gill_tpu.train.trainer import init_state, make_train_step
+
+    vis_name = "openai/clip-vit-large-patch14"
+    cfg = GILLConfig(opt_version=opt_name, visual_encoder=vis_name)
+    opt_cfg = OPTConfig.from_name(opt_name)
+    core = GILLCore(cfg=cfg, opt_cfg=opt_cfg,
+                    vis_cfg=CLIPVisionConfig.from_name(vis_name),
+                    vocab_len=opt_cfg.vocab_size + 9,
+                    img_start=opt_cfg.vocab_size + 1)
+    lm = opt_mod.init_dummy(opt_cfg, jnp.bfloat16)
+    lm = opt_mod.resize_embeddings(lm, core.vocab_len)
+    frozen = {"lm": cast_tree(lm, jnp.bfloat16),
+              "vision": cast_tree(clip_mod.init_vision(
+                  jax.random.PRNGKey(0), core.vis_cfg), jnp.bfloat16)}
+    adapters = core.init_adapters(jax.random.PRNGKey(1))
+    tc = TrainConfig(lr=1e-3, batch_size=batch)
+    state = init_state(core, tc, adapters)
+    step = make_train_step(core, tc)
+
+    rng = np.random.RandomState(0)
+    nt = core.cfg.num_tokens
+    tokens = np.full((batch, max_len), 1, np.int32)
+    for i in range(batch):
+        n_words = rng.randint(4, max_len - nt - 1)
+        row = [2] + list(rng.randint(4, 50000, n_words)) + list(
+            range(core.img_start, core.img_start + nt))
+        tokens[i, : len(row)] = row
+    lens = (tokens != 1).sum(axis=1).astype(np.int32)
+    batch_d = {
+        "pixels": jnp.asarray(rng.randn(batch, 224, 224, 3).astype(np.float32)),
+        "ret_tokens": jnp.asarray(tokens), "ret_len": jnp.asarray(lens),
+        "gen_tokens": jnp.asarray(tokens), "gen_len": jnp.asarray(lens),
+        "clip_emb": jnp.asarray(rng.randn(batch, 77, 768).astype(np.float32)),
+    }
+
+    state, m = step(state, frozen, batch_d, concat=False)  # compile
+    float(m["loss"])
+    import time as _t
+
+    t0 = _t.perf_counter()
+    n_rep = 4
+    for _ in range(n_rep):
+        state, m = step(state, frozen, batch_d, concat=False)
+    float(m["loss"])
+    dt = (_t.perf_counter() - t0 - _dispatch_overhead()) / n_rep
+    return batch / dt
+
+
 def main():
     _enable_compile_cache()
-    if os.environ.get("GILL_BENCH", "opt") == "sd":
+    mode = os.environ.get("GILL_BENCH", "opt")
+    if mode == "train":
+        model = os.environ.get("GILL_BENCH_MODEL", "facebook/opt-1.3b")
+        batch = int(os.environ.get("GILL_BENCH_BATCH", "32"))
+        v = bench_train_step(model, batch)
+        print(json.dumps({
+            "metric": f"{model.split('/')[-1]}_gill_train_examples_per_sec_per_chip",
+            "value": round(v, 2),
+            "unit": "examples/s/chip",
+            # reference budget: 2xA6000 x 48h for 10 epochs x 2000 steps x
+            # batch 200 = 4M examples -> ~11.6 ex/s per GPU (main.py:89-101,
+            # README.md:105); vs_baseline is ours / that per-device rate.
+            "vs_baseline": round(v / 11.6, 3),
+        }))
+        return
+    if mode == "sd":
         batch = int(os.environ.get("GILL_BENCH_BATCH", "4"))
         v = bench_sd_decode(batch)
         print(json.dumps({

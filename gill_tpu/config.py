@@ -52,6 +52,11 @@ OPT_PRESETS = {
                              num_heads=72, word_embed_proj_dim=9216,
                              vocab_size=50272, max_positions=2048,
                              do_layer_norm_before=True),
+    # tiny preset for tests / CI smoke of the full load_gill path
+    "test/opt-tiny": dict(hidden_size=16, ffn_dim=32, num_layers=2,
+                          num_heads=2, word_embed_proj_dim=16,
+                          vocab_size=300, max_positions=96,
+                          do_layer_norm_before=True),
 }
 
 CLIP_VISION_PRESETS = {
@@ -64,6 +69,9 @@ CLIP_VISION_PRESETS = {
     "openai/clip-vit-large-patch14": dict(hidden_size=1024, intermediate_size=4096,
                                           num_layers=24, num_heads=16,
                                           image_size=224, patch_size=14),
+    "test/clip-tiny": dict(hidden_size=16, intermediate_size=32,
+                           num_layers=1, num_heads=2, image_size=16,
+                           patch_size=8),
 }
 
 

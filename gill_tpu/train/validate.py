@@ -81,7 +81,6 @@ def validate(core, tc, adapters, frozen, val_loader, tokenizer,
         for k, m in meters.items():
             if k in metrics:
                 m.update(float(metrics[k]), len(jb["ret_tokens"]))
-        meters["loss"].update(float(metrics["loss"]), len(jb["ret_tokens"]))
 
         r = ret_fn(params, jb["pixels"], jb["ret_tokens"], jb["ret_len"])
         all_vis.append(np.asarray(r["visual_embs"], np.float32))

@@ -348,8 +348,7 @@ def main(argv):
                                          grid.transpose(2, 0, 1), actual_step)
                     metrics = {k: float(v) for k, v in metrics.items()}
                     for k, m in meters.items():
-                        m.update(metrics[k if k != "cap_ce" else "cap_ce"],
-                                 tc.batch_size)
+                        m.update(metrics[k], tc.batch_size)
                     for k, m in acc_meters.items():
                         m.update(metrics[k], tc.batch_size)
                     batch_time.update(time.time() - end)

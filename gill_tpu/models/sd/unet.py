@@ -229,7 +229,7 @@ def _tfm_block(p, x, ctx, num_heads: int, eps: float = 1e-5):
     h = nn.layer_norm(p["ln3"], x, eps)
     h = nn.linear(p["geglu"], h)
     val, gate = jnp.split(h, 2, axis=-1)
-    h = val * jax.nn.gelu(gate)
+    h = val * jax.nn.gelu(gate, approximate=False)  # diffusers GEGLU: erf
     return x + nn.linear(p["ff_out"], h)
 
 

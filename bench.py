@@ -78,43 +78,74 @@ def bench_opt_decode(model, batch, prompt_len, gen_len):
         jax.random.PRNGKey(1), (batch, prompt_len, emb_dim), jnp.bfloat16) * 0.02
     max_len = prompt_len + gen_len
 
-    @partial(jax.jit, static_argnames=("n",))
-    def decode(params, prompt, n):
+    unroll = os.environ.get("GILL_BENCH_UNROLL", "0") == "1"
+
+    def decode(params, prompt):
         cache = opt_mod.init_cache(cfg, batch, max_len, dtype=jnp.bfloat16)
-        pre = opt_mod.forward(params, cfg, prompt, cache=cache, cache_pos=0)
+        pre = opt_mod.forward(params, cfg, prompt, cache=cache, cache_pos=0,
+                              unroll_layers=unroll)
         logits0, cache = pre["logits"][:, -1], pre["cache"]
 
         def step(carry, _):
             logits, cache, pos = carry
             tok = jnp.argmax(logits, axis=-1)
             emb = opt_mod.embed_tokens(params, tok[:, None]).astype(jnp.bfloat16)
-            out = opt_mod.forward(params, cfg, emb, cache=cache, cache_pos=pos)
+            out = opt_mod.forward(params, cfg, emb, cache=cache, cache_pos=pos,
+                                  unroll_layers=unroll)
             return (out["logits"][:, -1], out["cache"], pos + 1), tok.sum()
 
         (_, _, _), s = jax.lax.scan(
-            step, (logits0, cache, jnp.asarray(prompt_len)), None, length=n)
+            step, (logits0, cache, jnp.asarray(prompt_len)), None,
+            length=gen_len)
         return s.sum()
 
-    t2 = _timed_scalar(lambda p, x: decode(p, x, gen_len), params, prompt)
+    # Compile with AUTO input layouts and place the weights in the
+    # compiler-preferred layout: avoids XLA materializing transposed copies
+    # of the stacked q/k/v tensors (3GB for opt-6.7b -> OOM on one chip).
+    from jax.experimental import layout as jlayout
+
+    auto = jlayout.Format(jlayout.Layout.AUTO)
+    p_shapes = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+    auto_tree = jax.tree_util.tree_map(lambda _: auto, p_shapes)
+    compiled = jax.jit(decode, in_shardings=(auto_tree, auto)).lower(
+        p_shapes, jax.ShapeDtypeStruct(prompt.shape, prompt.dtype)).compile()
+    fmts = compiled.input_formats[0]
+    # Materialize the zero weights DIRECTLY in the compiler-chosen layout
+    # (a device_put relayout would transiently double the 12.4GB).
+    del params
+    params = jax.jit(lambda: opt_mod.init_dummy(cfg, jnp.bfloat16),
+                     out_shardings=fmts[0])()
+    prompt = jax.device_put(prompt, fmts[1])
+
+    t2 = _timed_scalar(lambda p, x: compiled(p, x), params, prompt)
     per_tok = t2 / gen_len
     toks_per_sec = batch / per_tok
 
     # Reference decode algorithm: full re-forward per token; cost model = one
-    # full forward at the mean prefix length per generated token.
+    # full forward at the mean prefix length per generated token. Also
+    # compiled with AUTO input layouts so the same layout-copy pathology
+    # doesn't penalize (or OOM) the baseline.
     mean_t = prompt_len + gen_len // 2
     embs = jax.random.normal(
         jax.random.PRNGKey(2), (batch, mean_t, emb_dim), jnp.bfloat16) * 0.02
+    nb = 8
 
-    @partial(jax.jit, static_argnames=("n",))
-    def full_fwd_n(params, embs, n):
+    def full_fwd_n(params, embs):
         def body(c, _):
             out = opt_mod.forward(params, cfg, embs + c)["logits"][:, -1]
             return out.mean().astype(jnp.bfloat16), None
-        c, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None, length=n)
+        c, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None, length=nb)
         return c
 
-    nb = 8
-    tb = _timed_scalar(lambda p, e: full_fwd_n(p, e, nb), params, embs)
+    compiled_b = jax.jit(full_fwd_n, in_shardings=(auto_tree, auto)).lower(
+        p_shapes, jax.ShapeDtypeStruct(embs.shape, embs.dtype)).compile()
+    bf = compiled_b.input_formats[0]
+    del params
+    params = jax.jit(lambda: opt_mod.init_dummy(cfg, jnp.bfloat16),
+                     out_shardings=bf[0])()
+    embs = jax.device_put(embs, bf[1])
+    tb = _timed_scalar(lambda p, e: compiled_b(p, e), params, embs)
     per_fwd = tb / nb
     baseline_toks_per_sec = batch / per_fwd
     return toks_per_sec, baseline_toks_per_sec

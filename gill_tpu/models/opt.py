@@ -179,7 +179,7 @@ def _layer(cfg: OPTConfig, lp, h, kv_offset=None, cache_kv=None, cache_pos=None)
 
 def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
             collect_hidden: bool = False, cache=None, cache_pos=None,
-            remat: bool = False, lm_head=None):
+            remat: bool = False, lm_head=None, unroll_layers: bool = False):
     """Decoder forward from input embeddings.
 
     Args:
@@ -215,14 +215,34 @@ def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
         )
 
     if cache is not None:
-        def body(h, xs):
-            lp, ck, cv = xs
-            h, (nk, nv) = _layer(cfg, lp, h, cache_kv=(ck, cv), cache_pos=cache_pos)
-            return h, (h, nk, nv)
+        if unroll_layers:
+            # Python-unrolled layers: per-layer weight slices feed the
+            # matmuls directly, avoiding XLA's layout-normalization copies
+            # of the full stacked q/k/v tensors (3GB for opt-6.7b) that a
+            # scan over weight xs incurs. Compile time grows ~linearly in L;
+            # use for single-chip serving of the big presets.
+            hs_list, ks, vs = [], [], []
+            for i in range(cfg.num_layers):
+                lp = jax.tree_util.tree_map(lambda x, i=i: x[i],
+                                            params["layers"])
+                h, (nk, nv) = _layer(cfg, lp, h, cache_kv=(cache["k"][i],
+                                                           cache["v"][i]),
+                                     cache_pos=cache_pos)
+                hs_list.append(h)
+                ks.append(nk)
+                vs.append(nv)
+            hs = jnp.stack(hs_list) if collect_hidden else None
+            out_cache = {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+        else:
+            def body(h, xs):
+                lp, ck, cv = xs
+                h, (nk, nv) = _layer(cfg, lp, h, cache_kv=(ck, cv),
+                                     cache_pos=cache_pos)
+                return h, (h, nk, nv)
 
-        h, (hs, new_k, new_v) = jax.lax.scan(
-            body, h, (params["layers"], cache["k"], cache["v"]))
-        out_cache = {"k": new_k, "v": new_v}
+            h, (hs, new_k, new_v) = jax.lax.scan(
+                body, h, (params["layers"], cache["k"], cache["v"]))
+            out_cache = {"k": new_k, "v": new_v}
     else:
         def body(h, lp):
             if remat:

@@ -13,7 +13,6 @@ ids, top-k indices/scores and final images cross to host.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import List, Optional
 

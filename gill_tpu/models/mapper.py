@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from gill_tpu.nn import core as nn
-from gill_tpu.ops.attention import dot_product_attention
 
 
 @dataclasses.dataclass

@@ -19,7 +19,7 @@ loss that masks -100 labels. TPU-first design choices:
 
 from __future__ import annotations
 
-import dataclasses
+
 from typing import List, Optional, Tuple
 
 import jax

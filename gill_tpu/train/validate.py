@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gill_tpu.train import losses as L
 from gill_tpu.train.bleu import bleu_score
 from gill_tpu.train.trainer import make_eval_step
 from gill_tpu.utils.meters import AverageMeter, ProgressMeter

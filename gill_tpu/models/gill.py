@@ -352,9 +352,17 @@ class GILLCore:
                  top_p: float = 1.0, ret_scale_factor: float = 1.0,
                  gen_scale_factor: float = 1.0, max_img_runs: int = 1,
                  rng: Optional[jax.Array] = None,
-                 max_cache_len: Optional[int] = None):
+                 max_cache_len: Optional[int] = None,
+                 auto_layout: bool = False):
         """jit-cached wrapper over _generate_impl (one compile per static
-        decode configuration; prompt length buckets to reduce recompiles)."""
+        decode configuration; prompt length buckets to reduce recompiles).
+
+        auto_layout=True compiles with compiler-chosen input layouts and
+        returns the params placed in that layout as out["params"] — callers
+        keep them for subsequent calls. Avoids XLA materializing transposed
+        copies of the stacked q/k/v weights (3GB for opt-6.7b single-chip;
+        see bench.py).
+        """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         b, t_in, e = input_embs.shape
         # bucket prompt length to multiples of 16 (pad with zeros on the
@@ -367,13 +375,13 @@ class GILLCore:
         statics = (num_words, min_word_tokens, float(temperature),
                    float(top_p), float(ret_scale_factor),
                    float(gen_scale_factor), max_img_runs, max_cache_len,
-                   b, t_in, e)
+                   b, t_in, e, auto_layout)
         cache = getattr(self, "_gen_cache", None)
         if cache is None:
             cache = {}
             object.__setattr__(self, "_gen_cache", cache)
-        fn = cache.get(statics)
-        if fn is None:
+        entry = cache.get(statics)
+        if entry is None:
             def impl(params, input_embs, rng):
                 return self._generate_impl(
                     params, input_embs, num_words=num_words,
@@ -383,8 +391,32 @@ class GILLCore:
                     max_img_runs=max_img_runs, max_cache_len=max_cache_len,
                     rng=rng)
 
-            fn = jax.jit(impl)
-            cache[statics] = fn
+            if auto_layout:
+                from jax.experimental import layout as jlayout
+
+                auto = jlayout.Format(jlayout.Layout.AUTO)
+                shapes = jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+                auto_tree = jax.tree_util.tree_map(lambda _: auto, shapes)
+                compiled = jax.jit(
+                    impl, in_shardings=(auto_tree, auto, auto)).lower(
+                    shapes,
+                    jax.ShapeDtypeStruct(input_embs.shape, input_embs.dtype),
+                    jax.ShapeDtypeStruct(rng.shape, rng.dtype)).compile()
+                fmts = compiled.input_formats[0]
+                entry = (compiled, fmts)
+            else:
+                entry = (jax.jit(impl), None)
+            cache[statics] = entry
+        fn, fmts = entry
+        if fmts is not None:
+            # no-op when already in the target layout
+            params = jax.device_put(params, fmts[0])
+            input_embs = jax.device_put(input_embs, fmts[1])
+            rng = jax.device_put(rng, fmts[2])
+            out = fn(params, input_embs, rng)
+            out["params"] = params
+            return out
         return fn(params, input_embs, rng)
 
     def _generate_impl(self, params, input_embs, *, num_words: int = 32,

@@ -111,6 +111,25 @@ def test_top_p_filter():
     assert not np.isfinite(f01[0, 1:]).any()
 
 
+def test_auto_layout_decode_matches(core_params):
+    """auto_layout=True (compiler-chosen weight layouts) must be
+    numerically identical to the default path."""
+    core, params = core_params
+    rng = np.random.RandomState(5)
+    input_embs = jnp.asarray(rng.randn(1, 4, core.lm_dim).astype(np.float32) * 0.02)
+    out1 = core.generate(params, input_embs, num_words=5, temperature=0.0)
+    out2 = core.generate(params, input_embs, num_words=5, temperature=0.0,
+                         auto_layout=True)
+    np.testing.assert_array_equal(np.asarray(out1["tokens"]),
+                                  np.asarray(out2["tokens"]))
+    assert "params" in out2  # relaid-out params returned for reuse
+    # reusing the returned params hits the same compiled fn with no relayout
+    out3 = core.generate(out2["params"], input_embs, num_words=5,
+                         temperature=0.0, auto_layout=True)
+    np.testing.assert_array_equal(np.asarray(out2["tokens"]),
+                                  np.asarray(out3["tokens"]))
+
+
 def test_sampled_decode_runs(core_params):
     core, params = core_params
     rng = np.random.RandomState(3)

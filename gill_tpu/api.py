@@ -175,6 +175,11 @@ class GILL:
                                                     keepdims=True)
                 scores, top_idx = self.index.topk(
                     np.asarray(ret_emb[0]), k=3, seen_idx=seen_image_idx)
+                # NOTE: the reference's stop condition compares the OUTER
+                # dict length (always 3) to max_num_rets (models.py:690-691),
+                # effectively returning all loadable top-3 unless
+                # max_num_rets==3; we use the evident intent (stop after
+                # max_num_rets retrieved images).
                 for s, i in zip(scores, top_idx):
                     try:
                         seen_image_idx.append(int(i))

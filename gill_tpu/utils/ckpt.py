@@ -88,6 +88,42 @@ def load_checkpoint(ckpt_dir: str) -> Tuple[Any, dict]:
 
 
 # ---------------------------------------------------------------------------
+# Orbax backend (multi-host / sharded arrays; SURVEY §5 checkpoint aux)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint_orbax(state_tree, ckpt_dir: str, *, step: int,
+                          meta: Optional[dict] = None):
+    """Sharding-aware checkpoint via orbax (use for multi-host runs; the
+    npz format above stays the single-host default)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"orbax_{step}"))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, state_tree, force=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"step": step, **(meta or {})}, f)
+
+
+def load_checkpoint_orbax(ckpt_dir: str, step: Optional[int] = None):
+    import glob as _glob
+
+    import orbax.checkpoint as ocp
+
+    if step is None:
+        cands = sorted(_glob.glob(os.path.join(ckpt_dir, "orbax_*")),
+                       key=lambda p: int(p.rsplit("_", 1)[1]))
+        assert cands, f"no orbax checkpoints under {ckpt_dir}"
+        path = cands[-1]
+    else:
+        path = os.path.join(ckpt_dir, f"orbax_{step}")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.abspath(path))
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return tree, meta
+
+
+# ---------------------------------------------------------------------------
 # reference torch checkpoint import
 # ---------------------------------------------------------------------------
 

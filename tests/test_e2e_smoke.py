@@ -70,6 +70,24 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(best["a"]["b"], tree["a"]["b"])
 
 
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import pytest
+
+    try:
+        import orbax.checkpoint  # noqa: F401
+    except ImportError:
+        pytest.skip("orbax not installed")
+    from gill_tpu.utils.ckpt import load_checkpoint_orbax, save_checkpoint_orbax
+
+    tree = {"a": np.arange(6, dtype=np.float32).reshape(2, 3),
+            "b": {"c": np.ones(4, np.int32)}}
+    save_checkpoint_orbax(tree, str(tmp_path), step=3, meta={"epoch": 1})
+    loaded, meta = load_checkpoint_orbax(str(tmp_path))
+    assert meta["step"] == 3
+    np.testing.assert_array_equal(loaded["a"], tree["a"])
+    np.testing.assert_array_equal(loaded["b"]["c"], tree["b"]["c"])
+
+
 def test_bleu():
     from gill_tpu.train.bleu import bleu_score
 

@@ -259,9 +259,11 @@ def main(argv):
     train_loader = DataLoader(train_ds, per_host, shuffle=True,
                               seed=args.seed or 0, num_threads=args.workers,
                               rank=rank, world=world)
+    # drop_last=False: leftover val samples still count (the reference uses
+    # an auxiliary loader for the sampler remainder, validate.py:311-317).
     val_loader = DataLoader(val_ds, (tc.val_batch_size or tc.batch_size) // world,
                             shuffle=False, num_threads=args.workers,
-                            rank=rank, world=world)
+                            rank=rank, world=world, drop_last=False)
 
     prefix_ids = np.asarray(
         tokenizer(args.input_prompt, add_special_tokens=False).input_ids,

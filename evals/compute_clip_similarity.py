@@ -88,8 +88,8 @@ def main():
         if not (os.path.exists(gt_path) and os.path.exists(gen_path)):
             print(f"Skipping missing pair {gt_path} / {gen_path}")
             continue
-        gt = clip_preprocess(Image.open(gt_path))[None]
-        gen = clip_preprocess(Image.open(gen_path))[None]
+        gt = clip_preprocess(Image.open(gt_path), cfg.image_size)[None]
+        gen = clip_preprocess(Image.open(gen_path), cfg.image_size)[None]
         scores.append(float(cos_sim(jnp.asarray(gen), jnp.asarray(gt))[0]))
 
     score = float(np.mean(scores)) if scores else float("nan")

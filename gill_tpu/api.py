@@ -343,7 +343,16 @@ def load_gill(model_dir: str, load_ret_embs: bool = True,
 
     sd_pipe = None
     if load_sd:
-        sd_cfg = SDPipelineConfig()
+        if os.environ.get("GILL_TPU_TINY_SD") == "1":
+            # smoke-test escape hatch: a tiny random SD so eval scripts can
+            # run end-to-end on CPU without the 860M-param UNet.
+            from gill_tpu.models.sd.pipeline import tiny_sd_config
+
+            sd_cfg = tiny_sd_config()
+            sd_cfg.unet.cross_attention_dim = cfg.gen_emb_dim
+            sd_cfg.text.max_positions = cfg.num_clip_tokens
+        else:
+            sd_cfg = SDPipelineConfig()
         sd_dir = None
         for root in filter(None, [weights_dir,
                                   os.environ.get("GILL_TPU_WEIGHTS_DIR")]):

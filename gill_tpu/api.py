@@ -33,7 +33,7 @@ from gill_tpu.utils.image import truncate_caption
 class GILL:
     def __init__(self, core: GILLCore, params: dict, tokenizer,
                  sd_pipe=None, retrieval_index=None, decision_params=None,
-                 num_gen_images: int = 1):
+                 num_gen_images: int = 1, auto_layout: Optional[bool] = None):
         self.core = core
         self.params = params
         self.tokenizer = tokenizer
@@ -42,6 +42,13 @@ class GILL:
         self.decision_params = decision_params
         self.num_gen_images = num_gen_images
         self.idx2dec = decision_mod.IDX2DEC
+        # Serving default on TPU: compile decode with compiler-chosen (AUTO)
+        # input layouts and keep the relaid-out weights — avoids XLA
+        # materializing transposed copies of the stacked q/k/v tensors
+        # (3GB for opt-6.7b; the difference between fitting one chip or not).
+        if auto_layout is None:
+            auto_layout = jax.default_backend() == "tpu"
+        self.auto_layout = auto_layout
 
         self._vis_fn = jax.jit(
             lambda p, px: self.core.get_visual_embs(p, px, "captioning"))
@@ -51,6 +58,14 @@ class GILL:
             p["adapters"]["ret_fc"], self.core.ret_mapper_cfg, h, None))
         self._gen_map_fn = jax.jit(lambda p, h, e: mapper_mod.apply(
             p["adapters"]["gen_fc"], self.core.gen_mapper_cfg, h, e))
+
+    def _generate(self, input_embs, **kw):
+        out = self.core.generate(self.params, input_embs,
+                                 auto_layout=self.auto_layout, **kw)
+        if "params" in out:
+            # Adopt the relaid-out weights so later calls skip the placement.
+            self.params = out.pop("params")
+        return out
 
     def __call__(self, images, tgt_tokens=None, caption_len=None,
                  generate: bool = False, num_words: int = 32,
@@ -62,8 +77,8 @@ class GILL:
         gill/models.py:563-580). `images` is pixel values (B,H,W,3) for
         training or prompt embeddings (B,T,E) when generate=True."""
         if generate:
-            return self.core.generate(
-                self.params, images, num_words=num_words,
+            return self._generate(
+                images, num_words=num_words,
                 temperature=temperature, top_p=top_p,
                 min_word_tokens=min_word_tokens,
                 ret_scale_factor=ret_scale_factor,
@@ -121,9 +136,12 @@ class GILL:
             raise NotImplementedError(
                 "Generation not implemented for num_words=0.")
 
+        # The single-tap inference contract (reference models.py:663).
+        assert len(self.core.cfg.text_emb_layers) == 1, \
+            self.core.cfg.text_emb_layers
         rng = generator if generator is not None else jax.random.PRNGKey(0)
-        out = self.core.generate(
-            self.params, input_embs, num_words=num_words,
+        out = self._generate(
+            input_embs, num_words=num_words,
             min_word_tokens=min_word_tokens, temperature=temperature,
             top_p=top_p, ret_scale_factor=ret_scale_factor,
             gen_scale_factor=gen_scale_factor, max_img_runs=max_num_rets,
@@ -382,7 +400,20 @@ def load_gill(model_dir: str, load_ret_embs: bool = True,
                     os.path.join(sd_dir, "tokenizer", "merges.txt"))
         except Exception:
             pass
-        sd_pipe = StableDiffusionPipeline(sd_cfg, sd_params, tokenizer=sd_tok)
+        # Safety checker (reference custom_sd.py:653-661) — loaded whenever
+        # the diffusers layout ships a safety_checker/ directory.
+        checker = None
+        if sd_dir and os.path.isdir(os.path.join(sd_dir, "safety_checker")):
+            try:
+                from gill_tpu.models.safety import load_safety_checker
+
+                checker = load_safety_checker(
+                    os.path.join(sd_dir, "safety_checker"), dtype=dtype)
+            except Exception as e:
+                print(f"WARNING: safety checker failed to load ({e}); "
+                      f"running without it.")
+        sd_pipe = StableDiffusionPipeline(sd_cfg, sd_params, tokenizer=sd_tok,
+                                          safety_checker=checker)
 
     return GILL(core, params, tokenizer, sd_pipe=sd_pipe,
                 retrieval_index=index, decision_params=decision_params,

@@ -39,6 +39,24 @@ from gill_tpu.nn import core as nn
 IGNORE = -100
 
 
+def _relayout_tree(tree, fmts):
+    """device_put a pytree into target formats one leaf at a time.
+
+    For leaves already in the target layout device_put is a no-op (same
+    buffer); for host (numpy) leaves it is a single host->device transfer
+    straight into the target layout. Only genuinely relaid-out device leaves
+    copy, so peak memory is params + one leaf, not 2x params — the
+    difference between opt-6.7b fitting or OOMing on a 16GB chip."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    fmt_leaves = jax.tree_util.tree_flatten(fmts)[0]
+    out = []
+    for i, f in enumerate(fmt_leaves):
+        x = leaves[i]
+        leaves[i] = None  # drop our ref before the copy materializes
+        out.append(jax.device_put(x, f))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 @dataclasses.dataclass
 class GILLCore:
     """Static model description; all apply methods are pure functions of
@@ -65,20 +83,44 @@ class GILLCore:
     def lm_dim(self) -> int:
         return self.opt_cfg.word_embed_proj_dim
 
-    @property
-    def ret_mapper_cfg(self) -> mapper_mod.MapperConfig:
+    def tap_specs(self) -> Tuple[Tuple[str, int, int], ...]:
+        """One (param-suffix, layer-entry, in_dim) per cfg.text_emb_layers
+        entry — the reference builds one TextFcLayer per tapped LM layer
+        (gill/models.py:102-121): entries -1 / num_layers tap the final
+        post-norm stream (word_embed_proj_dim); other entries tap that
+        layer's raw hidden state (hidden_size)."""
+        n_layers = self.opt_cfg.num_layers
+        specs = []
+        for i, e in enumerate(self.cfg.text_emb_layers):
+            if not (-n_layers - 1 <= e <= n_layers):
+                raise ValueError(
+                    f"text_emb_layers entry {e} out of range for a "
+                    f"{n_layers}-layer LM")
+            final = e == -1 or e == n_layers
+            in_dim = self.lm_dim if final else self.opt_cfg.hidden_size
+            specs.append(("" if i == 0 else f"_{i}", e, in_dim))
+        return tuple(specs)
+
+    def ret_mapper_cfg_for(self, in_dim: int) -> mapper_mod.MapperConfig:
         return mapper_mod.MapperConfig(
-            in_dim=self.lm_dim, out_dim=self.cfg.ret_emb_dim,
+            in_dim=in_dim, out_dim=self.cfg.ret_emb_dim,
             num_input_tokens=self.cfg.num_tokens, num_output_tokens=1,
             mode=self.cfg.ret_text_fc_mode)
 
-    @property
-    def gen_mapper_cfg(self) -> mapper_mod.MapperConfig:
+    def gen_mapper_cfg_for(self, in_dim: int) -> mapper_mod.MapperConfig:
         return mapper_mod.MapperConfig(
-            in_dim=self.lm_dim, out_dim=self.cfg.gen_emb_dim,
+            in_dim=in_dim, out_dim=self.cfg.gen_emb_dim,
             num_input_tokens=self.cfg.num_tokens,
             num_output_tokens=self.cfg.num_clip_tokens,
             mode=self.cfg.text_fc_mode)
+
+    @property
+    def ret_mapper_cfg(self) -> mapper_mod.MapperConfig:
+        return self.ret_mapper_cfg_for(self.tap_specs()[0][2])
+
+    @property
+    def gen_mapper_cfg(self) -> mapper_mod.MapperConfig:
+        return self.gen_mapper_cfg_for(self.tap_specs()[0][2])
 
     # -- init ----------------------------------------------------------------
 
@@ -93,18 +135,26 @@ class GILLCore:
         }
 
     def init_adapters(self, key, dtype=jnp.float32) -> dict:
-        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         vh = self.vis_cfg.hidden_size
-        return {
+        ad = {
             "img_embeddings": jax.random.normal(
                 k1, (self.cfg.num_tokens, self.lm_dim), dtype) * 0.02,
             "visual_embeddings": nn.linear_init(
                 k2, vh, self.lm_dim * self.cfg.n_visual_tokens, dtype=dtype),
             "visual_fc": nn.linear_init(k3, vh, self.cfg.ret_emb_dim, dtype=dtype),
             "logit_scale": jnp.asarray(math.log(1 / 0.07), dtype),
-            "ret_fc": mapper_mod.init(k4, self.ret_mapper_cfg, dtype),
-            "gen_fc": mapper_mod.init(k5, self.gen_mapper_cfg, dtype),
         }
+        # One (ret_fc, gen_fc) mapper pair per tapped LM layer (reference
+        # gill/models.py:102-121); first pair keeps the unsuffixed names so
+        # single-layer checkpoints stay loadable.
+        for suffix, _, in_dim in self.tap_specs():
+            k4, kr, kg = jax.random.split(k4, 3)
+            ad[f"ret_fc{suffix}"] = mapper_mod.init(
+                kr, self.ret_mapper_cfg_for(in_dim), dtype)
+            ad[f"gen_fc{suffix}"] = mapper_mod.init(
+                kg, self.gen_mapper_cfg_for(in_dim), dtype)
+        return ad
 
     # -- embeddings ----------------------------------------------------------
 
@@ -296,8 +346,12 @@ class GILLCore:
         else:
             last_pair = last_idx[:, None]  # (B, 1)
 
+        specs = self.tap_specs()
+        n_layers = self.opt_cfg.num_layers
+        need_hidden = any(e not in (-1, n_layers) for _, e, _ in specs)
         out = opt_mod.forward(params["lm"], self.opt_cfg, embs, remat=remat,
-                              lm_head=self.lm_head_table(params))
+                              lm_head=self.lm_head_table(params),
+                              collect_hidden=need_hidden)
         logits, hidden = out["logits"], out["last_hidden"]
 
         result = {
@@ -319,13 +373,21 @@ class GILLCore:
             gat = lambda x: jnp.take_along_axis(
                 x, flat[..., None].repeat(x.shape[-1], -1), axis=1
             ).reshape(bp, nt, x.shape[-1])
-            win_hidden = gat(hidden)
             win_embs = gat(embs)
-            mcfg = (self.ret_mapper_cfg if mode == "retrieval"
-                    else self.gen_mapper_cfg)
-            fc = params["adapters"]["ret_fc" if mode == "retrieval" else "gen_fc"]
-            mapped = mapper_mod.apply(fc, mcfg, win_hidden, win_embs)
-            result["llm_hidden"] = win_hidden
+            # Map each tapped layer's [IMG]-window states and SUM the mapper
+            # outputs (reference gill/models.py:383-387, 417-422).
+            kind = "ret" if mode == "retrieval" else "gen"
+            mapped = None
+            for suffix, e, in_dim in specs:
+                tap = hidden if e in (-1, n_layers) else out["hidden_states"][e]
+                win_hidden = gat(tap)
+                mcfg = (self.ret_mapper_cfg_for(in_dim) if kind == "ret"
+                        else self.gen_mapper_cfg_for(in_dim))
+                m = mapper_mod.apply(params["adapters"][f"{kind}_fc{suffix}"],
+                                     mcfg, win_hidden, win_embs)
+                mapped = m if mapped is None else mapped + m
+                if suffix == "":
+                    result["llm_hidden"] = win_hidden
 
             logit_pos = jnp.maximum(last_pair - 1, 0)
             last_logit = jnp.take_along_axis(
@@ -365,26 +427,37 @@ class GILLCore:
         """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         b, t_in, e = input_embs.shape
-        # bucket prompt length to multiples of 16 (pad with zeros on the
-        # left is wrong for causal decode; pad on the right shifts positions,
-        # so we pad the *cache budget* instead and keep t_in exact for short
-        # prompts; bucketing only caps recompilation for long chat contexts).
+        # Prompt-length bucketing: pad the prompt on the RIGHT to a multiple
+        # of 64 and pass the real length as a DYNAMIC scalar. Real tokens
+        # keep exact positions 0..t_in-1; pad positions write garbage cache
+        # slots at [t_in, t_pad) which decode steps progressively overwrite
+        # (the first decode token is written at cache_pos = t_in) and the
+        # causal kv_offset mask never reads. One compiled program therefore
+        # serves every prompt length in the bucket — a chat session growing
+        # by a few tokens per turn compiles nothing after the first turn.
+        bucket = 64
+        t_pad = -(-t_in // bucket) * bucket
+        if t_pad != t_in:
+            input_embs = jnp.pad(input_embs,
+                                 ((0, 0), (0, t_pad - t_in), (0, 0)))
+        input_len = jnp.asarray(t_in, jnp.int32)
         if max_cache_len is None:
             steps = num_words + (self.cfg.num_tokens - 1) * max_img_runs
-            max_cache_len = -(-(t_in + steps) // 64) * 64
+            max_cache_len = -(-(t_pad + steps) // 64) * 64
+        max_cache_len = max(max_cache_len, t_pad)
         statics = (num_words, min_word_tokens, float(temperature),
                    float(top_p), float(ret_scale_factor),
                    float(gen_scale_factor), max_img_runs, max_cache_len,
-                   b, t_in, e, auto_layout)
+                   b, t_pad, e, auto_layout)
         cache = getattr(self, "_gen_cache", None)
         if cache is None:
             cache = {}
             object.__setattr__(self, "_gen_cache", cache)
         entry = cache.get(statics)
         if entry is None:
-            def impl(params, input_embs, rng):
+            def impl(params, input_embs, input_len, rng):
                 return self._generate_impl(
-                    params, input_embs, num_words=num_words,
+                    params, input_embs, input_len, num_words=num_words,
                     min_word_tokens=min_word_tokens, temperature=temperature,
                     top_p=top_p, ret_scale_factor=ret_scale_factor,
                     gen_scale_factor=gen_scale_factor,
@@ -399,9 +472,10 @@ class GILLCore:
                     lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
                 auto_tree = jax.tree_util.tree_map(lambda _: auto, shapes)
                 compiled = jax.jit(
-                    impl, in_shardings=(auto_tree, auto, auto)).lower(
+                    impl, in_shardings=(auto_tree, auto, auto, auto)).lower(
                     shapes,
                     jax.ShapeDtypeStruct(input_embs.shape, input_embs.dtype),
+                    jax.ShapeDtypeStruct(input_len.shape, input_len.dtype),
                     jax.ShapeDtypeStruct(rng.shape, rng.dtype)).compile()
                 fmts = compiled.input_formats[0]
                 entry = (compiled, fmts)
@@ -410,16 +484,20 @@ class GILLCore:
             cache[statics] = entry
         fn, fmts = entry
         if fmts is not None:
-            # no-op when already in the target layout
-            params = jax.device_put(params, fmts[0])
+            # Leaf-wise relayout (no-op when already in the target layout);
+            # never holds two full copies of the weights, so the peak is
+            # params + one leaf rather than 2x params.
+            params = _relayout_tree(params, fmts[0])
             input_embs = jax.device_put(input_embs, fmts[1])
-            rng = jax.device_put(rng, fmts[2])
-            out = fn(params, input_embs, rng)
+            input_len = jax.device_put(input_len, fmts[2])
+            rng = jax.device_put(rng, fmts[3])
+            out = fn(params, input_embs, input_len, rng)
             out["params"] = params
             return out
-        return fn(params, input_embs, rng)
+        return fn(params, input_embs, input_len, rng)
 
-    def _generate_impl(self, params, input_embs, *, num_words: int = 32,
+    def _generate_impl(self, params, input_embs, input_len=None, *,
+                       num_words: int = 32,
                        min_word_tokens: int = 0, temperature: float = 0.0,
                        top_p: float = 1.0, ret_scale_factor: float = 1.0,
                        gen_scale_factor: float = 1.0, max_img_runs: int = 1,
@@ -447,13 +525,27 @@ class GILLCore:
         steps = num_words + (nt - 1) * max_img_runs
         max_len = max_cache_len or (t_in + steps)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if input_len is None:
+            input_len = jnp.asarray(t_in, jnp.int32)
+
+        # Which LM stream feeds the [IMG]-window hidden states downstream
+        # (reference generate collects hidden_states[text_emb_layers[i]] per
+        # step, gill/models.py:466-468; inference uses a single tap).
+        e0 = cfg.text_emb_layers[0]
+        final_tap = e0 in (-1, self.opt_cfg.num_layers)
 
         lm_head = self.lm_head_table(params)
         cache = opt_mod.init_cache(self.opt_cfg, b, max_len,
                                    dtype=input_embs.dtype)
         pre = opt_mod.forward(params["lm"], self.opt_cfg, input_embs,
-                              cache=cache, cache_pos=0, lm_head=lm_head)
-        logits0 = pre["logits"][:, -1]
+                              cache=cache, cache_pos=0, skip_logits=True)
+        # Logits at the last REAL prompt position only (input_len may be
+        # smaller than the padded t_in under prompt bucketing).
+        h_last = jax.lax.dynamic_slice_in_dim(
+            pre["last_hidden"], input_len - 1, 1, axis=1)
+        logits0 = jax.lax.dot_general(
+            h_last, lm_head.astype(h_last.dtype), (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)[:, 0]
         cache = pre["cache"]
 
         img0 = self.img_start
@@ -493,13 +585,17 @@ class GILLCore:
             emb = self.embed_tokens(params, token[:, None]).astype(
                 input_embs.dtype)
             out = opt_mod.forward(params["lm"], self.opt_cfg, emb,
-                                  cache=cache, cache_pos=pos, lm_head=lm_head)
-            hidden = out["last_hidden"][:, 0]
+                                  cache=cache, cache_pos=pos, lm_head=lm_head,
+                                  collect_hidden=not final_tap)
+            if final_tap:
+                hidden = out["last_hidden"][:, 0]
+            else:
+                hidden = out["hidden_states"][e0][:, 0]
             return ((out["logits"][:, -1], out["cache"], pos + 1, new_iter,
                      new_force, rng),
                     (token, hidden, ~done))
 
-        init = (logits0, cache, jnp.asarray(t_in),
+        init = (logits0, cache, input_len,
                 jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.int32), rng)
         _, (tokens, hidden, valid) = jax.lax.scan(step, init, None, length=steps)
         return {

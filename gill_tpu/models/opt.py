@@ -157,7 +157,14 @@ def _layer(cfg: OPTConfig, lp, h, kv_offset=None, cache_kv=None, cache_pos=None)
         ck, cv = cache_kv
         ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
-        attn = dot_product_attention(q, ck, cv, causal=True, kv_offset=cache_pos)
+        if isinstance(cache_pos, int) and cache_pos == 0:
+            # Prefill: attend over the just-computed prompt k/v rather than
+            # the full preallocated cache — shorter KV span and a static
+            # zero offset, so the Pallas flash path is eligible.
+            attn = dot_product_attention(q, k, v, causal=True)
+        else:
+            attn = dot_product_attention(q, ck, cv, causal=True,
+                                         kv_offset=cache_pos)
         new_kv = (ck, cv)
     else:
         attn = dot_product_attention(q, k, v, causal=True, kv_offset=kv_offset)
@@ -179,7 +186,8 @@ def _layer(cfg: OPTConfig, lp, h, kv_offset=None, cache_kv=None, cache_pos=None)
 
 def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
             collect_hidden: bool = False, cache=None, cache_pos=None,
-            remat: bool = False, lm_head=None, unroll_layers: bool = False):
+            remat: bool = False, lm_head=None, unroll_layers: bool = False,
+            skip_logits: bool = False):
     """Decoder forward from input embeddings.
 
     Args:
@@ -259,14 +267,16 @@ def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
     if "project_out" in params:
         h = nn.linear(params["project_out"], h)
 
-    head = params["embed_tokens"]["weight"] if lm_head is None else lm_head
-    # bf16 MXU matmul with fp32 accumulation: avoids materializing an fp32
-    # copy of the (V, E) table (825MB for opt-6.7b — an OOM on one chip).
-    logits = jax.lax.dot_general(
-        h, head.astype(h.dtype), (((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    out = {"logits": logits, "last_hidden": h}
+    out = {"last_hidden": h}
+    if not skip_logits:
+        head = params["embed_tokens"]["weight"] if lm_head is None else lm_head
+        # bf16 MXU matmul with fp32 accumulation: avoids materializing an
+        # fp32 copy of the (V, E) table (825MB for opt-6.7b — an OOM on one
+        # chip). skip_logits=True elides the head entirely (prefill only
+        # needs logits at one position — the caller gathers h and projects).
+        out["logits"] = jax.lax.dot_general(
+            h, head.astype(h.dtype), (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
     if collect_hidden:
         # (L+1, B, T, D): index 0 = embedding stream, index i = layer i
         # output (pre-final-norm), matching HF hidden_states[:-1]; the final

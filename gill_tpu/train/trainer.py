@@ -94,6 +94,15 @@ def compute_losses(core: GILLCore, params, batch, tc: TrainConfig,
                    vis_norm_cap=cap["visual_embs_norm"],
                    inp_norm=cap["input_embs_norm"])
 
+    # Small viz extras for TB image grids (reference main.py:675-720):
+    # predicted caption tokens and per-batch retrieval argmaxes. Device-side
+    # argmaxes keep the host transfer to a few hundred ints per log window.
+    nv = core.cfg.n_visual_tokens
+    metrics["_viz"] = {
+        "pred_tokens": jnp.argmax(
+            cap["logits"][:, max(nv - 1, 0):-1], axis=-1).astype(jnp.int32),
+    }
+
     # retrieval
     ret = core.forward(params, pixels, batch["ret_tokens"], batch["ret_len"],
                        mode="retrieval", concat_captions=concat_captions,
@@ -108,6 +117,11 @@ def compute_losses(core: GILLCore, params, batch, tc: TrainConfig,
     total += tc.ret_loss_scale * cont
     t2i1, t2i5 = L.contrastive_acc(logits_per_text, topk=(1, 5))
     i2t1, i2t5 = L.contrastive_acc(logits_per_image, topk=(1, 5))
+    nb = pixels.shape[0]
+    metrics["_viz"]["t2i_idx"] = jnp.argmax(
+        logits_per_text[:nb, :nb], axis=-1).astype(jnp.int32)
+    metrics["_viz"]["i2t_idx"] = jnp.argmax(
+        logits_per_image[:nb, :nb], axis=-1).astype(jnp.int32)
     metrics.update(ret_ce=ce_ret, cont_loss=cont, t2i_top1=t2i1, t2i_top5=t2i5,
                    i2t_top1=i2t1, i2t_top5=i2t5,
                    vis_norm_ret=ret["visual_embs_norm"])

@@ -32,20 +32,30 @@ def _embed_for_caption_decode(core, params, pixels, prefix_ids):
     return jnp.concatenate(parts, axis=1)
 
 
-def generate_captions(core, params, pixels, prefix_ids, tokenizer,
-                      num_words: int = 32):
+def generate_caption_tokens(core, params, pixels, prefix_ids,
+                            num_words: int = 32):
     """Greedy caption decode with the input prefix
-    (reference validate.py:123-137)."""
+    (reference validate.py:123-137). min_word_tokens == num_words so no
+    [IMG] token can ever be sampled mid-caption (validate.py:124-126).
+    Returns (B, S) int32 with pad at invalid positions."""
     embs = _embed_for_caption_decode(core, params, pixels, prefix_ids)
-    out = core.generate(params, embs, num_words=num_words, temperature=0.0,
+    out = core.generate(params, embs, num_words=num_words,
+                        min_word_tokens=num_words, temperature=0.0,
                         max_img_runs=1)
     toks = np.asarray(out["tokens"])
     valid = np.asarray(out["valid"])
-    caps = []
-    for i in range(toks.shape[0]):
-        ids = toks[i][valid[i]]
-        caps.append(tokenizer.decode(ids, skip_special_tokens=True))
-    return caps
+    return np.where(valid, toks, core.pad_token_id).astype(np.int32)
+
+
+def decode_tokens(tokenizer, rows) -> list:
+    return [tokenizer.decode(r, skip_special_tokens=True) for r in rows]
+
+
+def generate_captions(core, params, pixels, prefix_ids, tokenizer,
+                      num_words: int = 32):
+    toks = generate_caption_tokens(core, params, pixels, prefix_ids,
+                                   num_words)
+    return decode_tokens(tokenizer, toks)
 
 
 def validate(core, tc, adapters, frozen, val_loader, tokenizer,
@@ -70,6 +80,20 @@ def validate(core, tc, adapters, frozen, val_loader, tokenizer,
         p, px, t, l, mode="retrieval",
         prefix_ids=jnp.asarray(prefix_ids) if prefix_ids is not None else None))
 
+    # Cross-process gathers replace the reference's per-batch NCCL
+    # all_gathers (validate.py:94-155): every host sees the global embedding
+    # set / caption tokens, so the full-val-set retrieval and BLEU metrics
+    # are computed over the whole set on every host.
+    world = jax.process_count()
+    if world > 1:
+        from jax.experimental import multihost_utils
+
+        def gather(x):
+            g = np.asarray(multihost_utils.process_allgather(np.asarray(x)))
+            return g.reshape((-1,) + g.shape[2:])
+    else:
+        gather = np.asarray
+
     for i, batch in enumerate(val_loader):
         if i >= steps:
             break
@@ -82,15 +106,29 @@ def validate(core, tc, adapters, frozen, val_loader, tokenizer,
                 m.update(float(metrics[k]), len(jb["ret_tokens"]))
 
         r = ret_fn(params, jb["pixels"], jb["ret_tokens"], jb["ret_len"])
-        all_vis.append(np.asarray(r["visual_embs"], np.float32))
-        all_txt.append(np.asarray(r["last_embedding"], np.float32))
+        all_vis.append(gather(np.asarray(r["visual_embs"], np.float32)))
+        all_txt.append(gather(np.asarray(r["last_embedding"], np.float32)))
 
         if decode_captions:
-            caps = generate_captions(core, params, jb["pixels"], prefix_ids,
-                                     tokenizer)
-            gen_caps.extend(caps)
-            for row in np.asarray(jb["ret_tokens"]):
-                gt_caps.extend([tokenizer.decode(row, skip_special_tokens=True)])
+            toks = generate_caption_tokens(core, params, jb["pixels"],
+                                           prefix_ids)
+            batch_gen = decode_tokens(tokenizer, gather(toks))
+            batch_gt = decode_tokens(tokenizer, gather(jb["ret_tokens"]))
+            gen_caps.extend(batch_gen)
+            gt_caps.extend(batch_gt)
+            if i == 0 and writer is not None and jax.process_index() == 0:
+                # Val caption grid: input | GT caption | generated caption
+                # (reference validate.py:196-211).
+                from gill_tpu.utils.image import (CLIP_MEAN, CLIP_STD,
+                                                  caption_grid)
+
+                px = np.clip(np.asarray(jb["pixels"]) * CLIP_STD + CLIP_MEAN,
+                             0, 1)
+                local_gen = decode_tokens(tokenizer, toks)
+                local_gt = decode_tokens(tokenizer, np.asarray(jb["ret_tokens"]))
+                grid = caption_grid(px, local_gt, local_gen)
+                writer.add_image("val/images_captioning",
+                                 grid.transpose(2, 0, 1), epoch + 1)
         if i % 10 == 0:
             progress.display(i + 1)
 

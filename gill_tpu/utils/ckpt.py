@@ -152,11 +152,14 @@ def load_reference_gill_checkpoint(path: str, core) -> dict:
         "visual_embeddings": _lin(sd, "model.visual_embeddings"),
         "visual_fc": _lin(sd, "model.visual_fc"),
         "logit_scale": _np(sd["model.logit_scale"]),
-        "ret_fc": text_fc_layer_from_torch(
-            sd, "model.ret_text_hidden_fcs.0.", core.cfg.ret_text_fc_mode),
-        "gen_fc": text_fc_layer_from_torch(
-            sd, "model.gen_text_hidden_fcs.0.", core.cfg.text_fc_mode),
     }
+    # One mapper pair per text_emb_layers entry (ModuleList index i in the
+    # reference maps to our ret_fc / ret_fc_{i} suffix convention).
+    for i, (suffix, _, _) in enumerate(core.tap_specs()):
+        adapters[f"ret_fc{suffix}"] = text_fc_layer_from_torch(
+            sd, f"model.ret_text_hidden_fcs.{i}.", core.cfg.ret_text_fc_mode)
+        adapters[f"gen_fc{suffix}"] = text_fc_layer_from_torch(
+            sd, f"model.gen_text_hidden_fcs.{i}.", core.cfg.text_fc_mode)
     return adapters
 
 

@@ -84,6 +84,32 @@ def create_image_of_text(text: bytes, width: int = 224, nrows: int = 2,
     return np.pad(arr, ((0, padding), (padding, padding), (0, 0)))
 
 
+def caption_grid(pixels, gt_captions, gen_captions, max_images: int = 16,
+                 nrow: int = 4) -> np.ndarray:
+    """Tiles (input image / GT caption render / generated caption render)
+    stacks — the reference's train & val caption grids (main.py:687-702,
+    validate.py:196-211). pixels: (N, H, W, 3) floats in [0, 1]; either
+    caption list may be None to skip that band."""
+    n = min(len(pixels), max_images)
+    if gt_captions is not None:
+        n = min(n, len(gt_captions))
+    if gen_captions is not None:
+        n = min(n, len(gen_captions))
+    w = pixels.shape[2]
+    rows = []
+    for i in range(n):
+        parts = [np.asarray(pixels[i], np.float32)]
+        if gt_captions is not None:
+            parts.append(create_image_of_text(
+                gt_captions[i].encode("ascii", "ignore"), width=w))
+        if gen_captions is not None:
+            parts.append(create_image_of_text(
+                gen_captions[i].encode("ascii", "ignore"), width=w,
+                color=(255, 255, 0)))
+        rows.append(np.concatenate(parts, axis=0))
+    return make_grid(np.stack(rows), nrow=nrow)
+
+
 def make_grid(images: np.ndarray, nrow: int = 4, padding: int = 4) -> np.ndarray:
     """(N, H, W, 3) -> one tiled (gh, gw, 3) grid image for TB."""
     n, h, w, c = images.shape

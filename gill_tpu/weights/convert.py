@@ -124,6 +124,30 @@ def clip_vision_from_torch(sd, cfg) -> dict:
     return out
 
 
+def safety_checker_from_torch(sd, cfg) -> dict:
+    """diffusers `StableDiffusionSafetyChecker` state_dict -> safety params.
+
+    Keys: vision_model.vision_model.* (CLIP ViT tower), visual_projection
+    (bias-free), and the concept/special-care embedding buffers
+    (reference custom_sd.py:653-661 runs this model post-decode)."""
+    vis_sd = {k[len("vision_model."):]: v for k, v in sd.items()
+              if k.startswith("vision_model.")}
+    vis_sd["visual_projection.weight"] = sd["visual_projection.weight"]
+    vision = clip_vision_from_torch(vis_sd, cfg.vision)
+    params = {
+        "vision": vision,
+        "concept_embeds": _np(sd["concept_embeds"]),
+        "special_care_embeds": _np(sd["special_care_embeds"]),
+        "concept_embeds_weights": _np(sd["concept_embeds_weights"]),
+        "special_care_embeds_weights": _np(sd["special_care_embeds_weights"]),
+    }
+    assert params["concept_embeds"].shape == (cfg.num_concepts,
+                                              cfg.projection_dim)
+    assert params["special_care_embeds"].shape == (cfg.num_special,
+                                                   cfg.projection_dim)
+    return params
+
+
 def clip_text_from_torch(sd, cfg) -> dict:
     """HF CLIPTextModel state_dict -> gill_tpu.models.clip text params."""
     sd = {k.replace("text_model.", ""): v for k, v in sd.items()}

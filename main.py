@@ -269,19 +269,27 @@ def main(argv):
         tokenizer(args.input_prompt, add_special_tokens=False).input_ids,
         np.int32) if args.input_prompt else None
 
-    # ---- TB writer ----
-    try:
-        from torch.utils.tensorboard import SummaryWriter
+    # ---- TB writer (rank-0 only, like the reference's is_main_process
+    # gating, main.py:299-303) ----
+    writer = None
+    if jax.process_index() == 0:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
 
-        writer = SummaryWriter(log_dir)
-    except Exception:
-        writer = None
+            writer = SummaryWriter(log_dir)
+        except Exception:
+            writer = None
 
     step_fn = make_train_step(core, tc)
     b_shard = batch_sharding(mesh)
 
     def put_batch(batch):
-        return {k: jax.device_put(jnp.asarray(v), b_shard)
+        # Each process feeds its host-local shard; the global array spans the
+        # mesh (the reference's DistributedSampler + per-GPU split,
+        # main.py:204-237,318-320). With one process this is equivalent to a
+        # plain device_put onto the batch sharding.
+        return {k: jax.make_array_from_process_local_data(
+                    b_shard, np.asarray(v))
                 for k, v in batch.items()
                 if k not in ("path", "caption_img")}
 
@@ -316,6 +324,13 @@ def main(argv):
 
             it = iter(train_loader)
             end = time.time()
+            # Metric sums accumulate ON DEVICE every step (scalar adds are
+            # ~free and don't force a host sync); the host fetches the sums
+            # once per print window and logs true window AVERAGES — matching
+            # the reference's every-step meter updates (main.py:628-651)
+            # without a 30ms device->host round-trip per step.
+            msum, mcount = None, 0
+            win_t0 = time.time()
             for i in range(tc.steps_per_epoch):
                 try:
                     batch = next(it)
@@ -331,32 +346,76 @@ def main(argv):
                     jax.profiler.start_trace(os.path.join(log_dir, "trace"))
                 state, metrics = step_fn(state, frozen, put_batch(batch),
                                          concat=concat)
+                viz = metrics.pop("_viz", None)
+                msum = metrics if msum is None else jax.tree_util.tree_map(
+                    jnp.add, msum, metrics)
+                mcount += 1
                 if args.profile_steps and \
                         actual_step == 1 + args.profile_steps:
                     jax.tree_util.tree_map(
                         lambda x: x.block_until_ready(), metrics)
                     jax.profiler.stop_trace()
                 if actual_step == 1 or (i + 1) % tc.print_freq == 0:
-                    # TB image grid of (denormalized) inputs
-                    # (reference main.py:675-720 logs input/caption grids).
+                    # TB image grids: (input | GT caption | predicted caption)
+                    # plus t2i / i2t retrieval mosaics
+                    # (reference main.py:675-720).
                     if writer is not None and "pixels" in batch:
-                        from gill_tpu.utils.image import CLIP_MEAN, CLIP_STD, \
-                            make_grid
+                        from gill_tpu.utils.image import (CLIP_MEAN, CLIP_STD,
+                                                          caption_grid,
+                                                          make_grid)
 
-                        px = np.asarray(batch["pixels"][:16])
+                        nshow = 16
+                        px = np.asarray(batch["pixels"])
                         px = np.clip(px * CLIP_STD + CLIP_MEAN, 0, 1)
-                        grid = make_grid(px, nrow=4)
-                        writer.add_image("train/images",
-                                         grid.transpose(2, 0, 1), actual_step)
-                    metrics = {k: float(v) for k, v in metrics.items()}
+                        gt_caps = [tokenizer.decode(row)
+                                   for row in np.asarray(batch["ret_tokens"])]
+                        if viz is not None:
+                            pred = np.asarray(viz["pred_tokens"])[:nshow]
+                            pred_caps = [tokenizer.decode(row) for row in pred]
+                            if len(pred_caps) < len(px):
+                                # concat-packed step: each packed row covers
+                                # two examples (reference main.py:697-699).
+                                pred_caps = [c for c in pred_caps for _ in
+                                             (0, 1)]
+                            grid = caption_grid(px[:nshow], gt_caps[:nshow],
+                                                pred_caps[:nshow])
+                            writer.add_image("train/images_gen_cap",
+                                             grid.transpose(2, 0, 1),
+                                             actual_step)
+                            # Retrieval mosaics: the image each caption
+                            # retrieved, and the caption each image retrieved.
+                            t2i = np.asarray(viz["t2i_idx"]) % len(px)
+                            grid = caption_grid(px[t2i[:nshow]],
+                                                gt_caps[:nshow], None)
+                            writer.add_image("train/t2i_ret",
+                                             grid.transpose(2, 0, 1),
+                                             actual_step)
+                            i2t = np.asarray(viz["i2t_idx"]) % len(gt_caps)
+                            grid = caption_grid(
+                                px[:nshow],
+                                [gt_caps[j] for j in i2t[:nshow]], None)
+                            writer.add_image("train/i2t_ret",
+                                             grid.transpose(2, 0, 1),
+                                             actual_step)
+                        else:
+                            grid = make_grid(px[:nshow], nrow=4)
+                            writer.add_image("train/images",
+                                             grid.transpose(2, 0, 1),
+                                             actual_step)
+                    # float() blocks until every step in the window has
+                    # actually executed, so the wall-clock delta / steps is an
+                    # honest secs-per-batch under async dispatch.
+                    window = {k: float(v) / mcount for k, v in msum.items()}
+                    batch_time.update((time.time() - win_t0) / mcount, mcount)
+                    msum, mcount = None, 0
+                    win_t0 = time.time()
                     for k, m in meters.items():
-                        m.update(metrics[k], tc.batch_size)
+                        m.update(window[k], tc.batch_size)
                     for k, m in acc_meters.items():
-                        m.update(metrics[k], tc.batch_size)
-                    batch_time.update(time.time() - end)
+                        m.update(window[k], tc.batch_size)
                     progress.display(i + 1)
                     if writer is not None:
-                        for k, v in metrics.items():
+                        for k, v in window.items():
                             writer.add_scalar(f"train/{k}", v, actual_step)
                         writer.add_scalar(
                             "metrics/examples_per_sec",
@@ -370,11 +429,12 @@ def main(argv):
             acc1 = run_validate(epoch)
             is_best = acc1 > best_acc1
             best_acc1 = max(acc1, best_acc1)
-            ckpt_utils.save_checkpoint(
-                {"adapters": jax.device_get(state.adapters),
-                 "opt_state": jax.device_get(state.opt_state)},
-                log_dir, step=int(state.step), is_best=is_best,
-                meta={"epoch": epoch + 1, "best_acc1": float(best_acc1)})
+            if jax.process_index() == 0:
+                ckpt_utils.save_checkpoint(
+                    {"adapters": jax.device_get(state.adapters),
+                     "opt_state": jax.device_get(state.opt_state)},
+                    log_dir, step=int(state.step), is_best=is_best,
+                    meta={"epoch": epoch + 1, "best_acc1": float(best_acc1)})
     if writer is not None:
         writer.close()
 

@@ -217,7 +217,9 @@ def _attention(p, x, ctx, num_heads: int):
     q = nn.linear(p["q"], x).reshape(b, t, num_heads, hd)
     k = nn.linear(p["k"], ctx).reshape(b, s, num_heads, hd)
     v = nn.linear(p["v"], ctx).reshape(b, s, num_heads, hd)
-    o = dot_product_attention(q, k, v, causal=False)
+    # fast=True: post-LayerNorm UNet logits are bounded well inside the
+    # clamp, and skipping the running max is ~25% faster at S=4096.
+    o = dot_product_attention(q, k, v, causal=False, fast=True)
     return nn.linear(p["o"], o.reshape(b, t, d))
 
 

@@ -135,14 +135,17 @@ def _resnet(p, x, groups):
 
 
 def _attn(p, x, groups):
+    """Single-head self-attention over all spatial positions. Runs the
+    shared flash core on TPU (the XLA fallback would materialize a
+    (B, 4096, 4096) fp32 score tensor at 512px latents)."""
+    from gill_tpu.ops.attention import dot_product_attention
+
     b, h, w, c = x.shape
     y = nn.group_norm(p["norm"], x, groups, eps=1e-6).reshape(b, h * w, c)
-    q = nn.linear(p["q"], y)
-    k = nn.linear(p["k"], y)
-    v = nn.linear(p["v"], y)
-    scores = (q.astype(jnp.float32) @ k.astype(jnp.float32).transpose(0, 2, 1)
-              ) / jnp.sqrt(jnp.float32(c))
-    a = jax.nn.softmax(scores, axis=-1).astype(y.dtype) @ v
+    q = nn.linear(p["q"], y)[:, :, None, :]
+    k = nn.linear(p["k"], y)[:, :, None, :]
+    v = nn.linear(p["v"], y)[:, :, None, :]
+    a = dot_product_attention(q, k, v, causal=False, fast=True)[:, :, 0, :]
     return x + nn.linear(p["o"], a).reshape(b, h, w, c)
 
 

@@ -46,3 +46,42 @@ def test_flash_matches_xla_interpret(causal, t, d):
         out = flash_attention(q, k, v, causal=causal, block_q=64, block_k=64)
     ref = dot_product_attention(q, k, v, causal=causal, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("fast", [False, True])
+@pytest.mark.parametrize("s", [77, 130])
+def test_flash_padded_kv_interpret(fast, s):
+    """KV lengths that aren't block multiples (e.g. SD's 77-token
+    cross-attention) are padded and masked inside the kernel."""
+    key = jax.random.PRNGKey(2)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, 64, 2, 40))
+    k = jax.random.normal(kk, (2, s, 2, 40))
+    v = jax.random.normal(kv, (2, s, 2, 40))
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, causal=False, block_q=64, block_k=128,
+                              fast=fast)
+    ref = dot_product_attention(q, k, v, causal=False, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_fast_softmax_matches_exact(causal):
+    """fast (clamp-shift, no running max) == exact softmax for bounded
+    logits — the SD UNet regime."""
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, 128, 2, 64))
+    k = jax.random.normal(kk, (1, 128, 2, 64))
+    v = jax.random.normal(kv, (1, 128, 2, 64))
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, causal=causal, block_q=64, block_k=64,
+                              fast=True)
+    ref = dot_product_attention(q, k, v, causal=causal, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)

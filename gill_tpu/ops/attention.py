@@ -241,6 +241,73 @@ def flash_attention(q, k, v, *, causal: bool = False,
     return out[:, :t, :, :d]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("causal", "block_q", "block_k", "fast",
+                                    "scale"))
+def flash_attention_bthd(q, k, v, *, causal: bool = False, scale: float,
+                         block_q: int = 0, block_k: int = 0,
+                         fast: bool = False):
+    """Flash attention over the native (B, T, H, Dp) layout, Dp % 128 == 0.
+
+    No transposes or pads: callers keep q/k/v/out in (B, S, H, Dp) and the
+    grid strides over the H axis directly ((b*h, q-block) programs whose
+    index map picks (b, block, h)). For small true head dims (SD: d=40),
+    pad the PROJECTION weights to Dp=128 instead of the activations — the
+    pad hoists out of the denoise scan, while activation pad/transpose glue
+    (6 HBM round-trips of the (B,S,H,D) tensors per layer) disappears.
+
+    `scale` must be 1/sqrt(true_d) — it cannot be derived from Dp here.
+    """
+    b, t, h, dp = q.shape
+    s = k.shape[1]
+    assert dp % 128 == 0, dp
+
+    if block_q == 0 or block_k == 0:
+        kv_bytes = 2 * s * dp * 2
+        vmem_budget = max(14 * 1024 * 1024 - kv_bytes, 0)
+        bq_full = (vmem_budget // (4 * max(s, 1))) // 128 * 128
+        if not causal and bq_full >= 128:
+            block_q, block_k = min(512, bq_full), s
+        else:
+            block_q, block_k = 512, 512
+
+    block_q = min(block_q, max(8, ((t + 7) // 8) * 8))
+    block_k = min(block_k, max(128, ((s + 127) // 128) * 128))
+    t_pad = ((t + block_q - 1) // block_q) * block_q
+    s_pad = ((s + block_k - 1) // block_k) * block_k
+    # Fold H into the lane axis ((B, S, H*Dp)) — free reshape, and Mosaic
+    # allows lane-dim blocking at 128-multiple offsets where blocking a
+    # second-minor axis to 1 is rejected.
+    qp = _pad_to(q, t_pad, 1).reshape(b, t_pad, h * dp)
+    kp = _pad_to(k, s_pad, 1).reshape(b, s_pad, h * dp)
+    vp = _pad_to(v, s_pad, 1).reshape(b, s_pad, h * dp)
+
+    grid = (b * h, t_pad // block_q)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, causal=causal, block_k=block_k,
+        seq_k=s_pad, kv_offset=s - t, kv_len=s, fast=fast,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, dp),
+                         lambda bh, i: (bh // h, i, bh % h)),
+            pl.BlockSpec((None, s_pad, dp),
+                         lambda bh, i: (bh // h, 0, bh % h)),
+            pl.BlockSpec((None, s_pad, dp),
+                         lambda bh, i: (bh // h, 0, bh % h)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, dp),
+                               lambda bh, i: (bh // h, i, bh % h)),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, h * dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(qp, kp, vp)
+    return out.reshape(b, t_pad, h, dp)[:, :t]
+
+
 # ---------------------------------------------------------------------------
 # dispatcher
 # ---------------------------------------------------------------------------

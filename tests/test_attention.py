@@ -85,3 +85,27 @@ def test_flash_fast_softmax_matches_exact(causal):
     ref = dot_product_attention(q, k, v, causal=causal, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
                                rtol=2e-5)
+
+
+@pytest.mark.parametrize("fast", [False, True])
+def test_flash_bthd_matches_xla_interpret(fast):
+    """Native-layout kernel (padded head dim, no transposes) vs XLA."""
+    from gill_tpu.ops.attention import flash_attention_bthd
+
+    key = jax.random.PRNGKey(4)
+    kq, kk, kv = jax.random.split(key, 3)
+    d = 40
+    q = jax.random.normal(kq, (2, 128, 3, d))
+    k = jax.random.normal(kk, (2, 96, 3, d))
+    v = jax.random.normal(kv, (2, 96, 3, d))
+    pad = [(0, 0), (0, 0), (0, 0), (0, 128 - d)]
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_bthd(
+            jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad),
+            causal=False, scale=1.0 / np.sqrt(d), block_q=64, block_k=128,
+            fast=fast)
+    ref = dot_product_attention(q, k, v, causal=False, impl="xla")
+    np.testing.assert_allclose(np.asarray(out[..., :d]), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

@@ -73,6 +73,14 @@ def bench_opt_decode(model, batch, prompt_len, gen_len):
     # Zero weights: identical compute/memory-traffic shape as real weights
     # without the PRNG transient buffers that OOM 6.7b on one 16GB chip.
     params = opt_mod.init_dummy(cfg, dtype=jnp.bfloat16)
+    w8 = os.environ.get("GILL_BENCH_W8", "0") == "1"
+
+    def make_params():
+        p = opt_mod.init_dummy(cfg, jnp.bfloat16)
+        return opt_mod.quantize_params_w8(p) if w8 else p
+
+    if w8:
+        params = opt_mod.quantize_params_w8(params)
     emb_dim = cfg.word_embed_proj_dim
     prompt = jax.random.normal(
         jax.random.PRNGKey(1), (batch, prompt_len, emb_dim), jnp.bfloat16) * 0.02
@@ -112,10 +120,14 @@ def bench_opt_decode(model, batch, prompt_len, gen_len):
         p_shapes, jax.ShapeDtypeStruct(prompt.shape, prompt.dtype)).compile()
     fmts = compiled.input_formats[0]
     # Materialize the zero weights DIRECTLY in the compiler-chosen layout
-    # (a device_put relayout would transiently double the 12.4GB).
+    # (a device_put relayout would transiently double the 12.4GB). The w8
+    # tree is small enough to relayout via device_put — and jit
+    # out_shardings cannot always reproduce the compiler's int8 layouts.
     del params
-    params = jax.jit(lambda: opt_mod.init_dummy(cfg, jnp.bfloat16),
-                     out_shardings=fmts[0])()
+    if w8:
+        params = jax.device_put(jax.jit(make_params)(), fmts[0])
+    else:
+        params = jax.jit(make_params, out_shardings=fmts[0])()
     prompt = jax.device_put(prompt, fmts[1])
 
     t2 = _timed_scalar(lambda p, x: compiled(p, x), params, prompt)
@@ -142,8 +154,10 @@ def bench_opt_decode(model, batch, prompt_len, gen_len):
         p_shapes, jax.ShapeDtypeStruct(embs.shape, embs.dtype)).compile()
     bf = compiled_b.input_formats[0]
     del params
-    params = jax.jit(lambda: opt_mod.init_dummy(cfg, jnp.bfloat16),
-                     out_shardings=bf[0])()
+    if w8:
+        params = jax.device_put(jax.jit(make_params)(), bf[0])
+    else:
+        params = jax.jit(make_params, out_shardings=bf[0])()
     embs = jax.device_put(embs, bf[1])
     tb = _timed_scalar(lambda p, e: compiled_b(p, e), params, embs)
     per_fwd = tb / nb
@@ -151,9 +165,11 @@ def bench_opt_decode(model, batch, prompt_len, gen_len):
     return toks_per_sec, baseline_toks_per_sec
 
 
-def bench_sd_decode(batch: int, steps: int = 50, size: int = 512):
+def bench_sd_decode(batch: int, steps: int = 50, size: int = 512,
+                    quantize: bool = False):
     """SD v1.5 512^2 CFG denoise throughput (img/s/chip). Weights are zeros
-    (same compute/traffic as real weights)."""
+    (same compute/traffic as real weights; the int8 mode quantizes them so
+    scales are well-formed)."""
     import jax
     import jax.numpy as jnp
 
@@ -165,7 +181,8 @@ def bench_sd_decode(batch: int, steps: int = 50, size: int = 512):
     unet_p = jax.tree_util.tree_map(
         lambda x: jnp.zeros(x.shape, jnp.bfloat16),
         unet_mod.init(jax.random.PRNGKey(0), cfg.unet))
-    pipe = StableDiffusionPipeline(cfg, {"unet": unet_p, "vae_decoder": None})
+    pipe = StableDiffusionPipeline(cfg, {"unet": unet_p, "vae_decoder": None},
+                                   quantize=quantize)
 
     ctx = jnp.zeros((2 * batch, 77, 768), jnp.bfloat16)
     lat = jnp.zeros((batch, size // 8, size // 8, 4), jnp.bfloat16)
@@ -259,11 +276,13 @@ def main():
             "vs_baseline": round(v / 11.6, 3),
         }))
         return
-    if mode == "sd":
+    if mode in ("sd", "sd_int8"):
         batch = int(os.environ.get("GILL_BENCH_BATCH", "4"))
-        v = bench_sd_decode(batch)
+        q = mode == "sd_int8"
+        v = bench_sd_decode(batch, quantize=q)
         print(json.dumps({
-            "metric": "sd15_512px_50step_images_per_sec_per_chip",
+            "metric": "sd15_512px_50step_images_per_sec_per_chip"
+                      + ("_int8" if q else ""),
             "value": round(v, 3),
             "unit": "img/s/chip",
             # north-star target from BASELINE.json: 2 img/s/chip on v5e
@@ -301,8 +320,9 @@ def main():
         model = "facebook/opt-1.3b"
         value, baseline = bench_opt_decode(model, batch, prompt_len, gen_len)
 
+    suffix = "_w8" if os.environ.get("GILL_BENCH_W8", "0") == "1" else ""
     print(json.dumps({
-        "metric": f"{model.split('/')[-1]}_decode_tokens_per_sec_per_chip",
+        "metric": f"{model.split('/')[-1]}_decode_tokens_per_sec_per_chip{suffix}",
         "value": round(value, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(value / baseline, 3),

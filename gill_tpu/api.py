@@ -33,7 +33,20 @@ from gill_tpu.utils.image import truncate_caption
 class GILL:
     def __init__(self, core: GILLCore, params: dict, tokenizer,
                  sd_pipe=None, retrieval_index=None, decision_params=None,
-                 num_gen_images: int = 1, auto_layout: Optional[bool] = None):
+                 num_gen_images: int = 1, auto_layout: Optional[bool] = None,
+                 lm_weight_precision: str = "bf16"):
+        """lm_weight_precision: "bf16" (parity default) or "w8" — per-channel
+        int8 LM weights with dequant fused into the matmul weight stream
+        (models/opt.py quantize_params_w8; 2267 vs 1498 tok/s/chip at
+        opt-2.7b batch 16). Opt-in serving mode."""
+        if lm_weight_precision == "w8":
+            from gill_tpu.models import opt as opt_mod
+
+            params = dict(params)
+            params["lm"] = opt_mod.quantize_params_w8(params["lm"])
+        elif lm_weight_precision != "bf16":
+            raise ValueError(lm_weight_precision)
+        self.lm_weight_precision = lm_weight_precision
         self.core = core
         self.params = params
         self.tokenizer = tokenizer
@@ -285,11 +298,17 @@ def load_gill(model_dir: str, load_ret_embs: bool = True,
               decision_model_fn: Optional[str] = "decision_model.pth.tar",
               weights_dir: Optional[str] = None, load_sd: bool = True,
               num_gen_images: int = 1, mesh=None,
-              dtype=jnp.bfloat16) -> GILL:
+              dtype=jnp.bfloat16, lm_weight_precision: str = "bf16",
+              sd_precision: str = "bf16") -> GILL:
     """Builds an inference GILL from a reference-format checkpoint directory
     (model_args.json + pretrained_ckpt.pth.tar + cc3m*.npy + decision model;
     reference load_gill, gill/models.py:810-902). Frozen backbone weights
-    come from `weights_dir` (see weights/loader.py search rules)."""
+    come from `weights_dir` (see weights/loader.py search rules).
+
+    lm_weight_precision: "bf16" | "w8" — opt-in int8 LM weight serving
+    (see GILL.__init__). sd_precision: "bf16" | "int8" — opt-in W8A8 SD
+    UNet (models/sd/unet.py quantize_params; quality gate in ROADMAP.md
+    must pass with real weights before either int8 mode is a default)."""
     from gill_tpu.models import clip as clip_mod
     from gill_tpu.models.sd import unet as unet_mod
     from gill_tpu.models.sd import vae as vae_mod
@@ -413,11 +432,13 @@ def load_gill(model_dir: str, load_ret_embs: bool = True,
                 print(f"WARNING: safety checker failed to load ({e}); "
                       f"running without it.")
         sd_pipe = StableDiffusionPipeline(sd_cfg, sd_params, tokenizer=sd_tok,
-                                          safety_checker=checker)
+                                          safety_checker=checker,
+                                          quantize=(sd_precision == "int8"))
 
     return GILL(core, params, tokenizer, sd_pipe=sd_pipe,
                 retrieval_index=index, decision_params=decision_params,
-                num_gen_images=num_gen_images)
+                num_gen_images=num_gen_images,
+                lm_weight_precision=lm_weight_precision)
 
 
 def wloader_sd(sd_dir: str, sd_cfg, dtype=jnp.bfloat16) -> dict:

@@ -415,7 +415,8 @@ class GILLCore:
                  gen_scale_factor: float = 1.0, max_img_runs: int = 1,
                  rng: Optional[jax.Array] = None,
                  max_cache_len: Optional[int] = None,
-                 auto_layout: bool = False):
+                 auto_layout: bool = False,
+                 unroll_layers: Optional[bool] = None):
         """jit-cached wrapper over _generate_impl (one compile per static
         decode configuration; prompt length buckets to reduce recompiles).
 
@@ -425,6 +426,12 @@ class GILLCore:
         copies of the stacked q/k/v weights (3GB for opt-6.7b single-chip;
         see bench.py).
         """
+        if unroll_layers is None:
+            # Unrolled decode layers measured 1498 vs 1022 tok/s/chip at
+            # opt-2.7b batch 16 (scan-over-layers leaves the chip idle
+            # between the per-layer weight-slice DMAs); costs compile time
+            # linear in num_layers, amortized by the program cache below.
+            unroll_layers = jax.default_backend() == "tpu"
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         b, t_in, e = input_embs.shape
         # Prompt-length bucketing: pad the prompt on the RIGHT to a multiple
@@ -448,7 +455,7 @@ class GILLCore:
         statics = (num_words, min_word_tokens, float(temperature),
                    float(top_p), float(ret_scale_factor),
                    float(gen_scale_factor), max_img_runs, max_cache_len,
-                   b, t_pad, e, auto_layout)
+                   b, t_pad, e, auto_layout, unroll_layers)
         cache = getattr(self, "_gen_cache", None)
         if cache is None:
             cache = {}
@@ -462,7 +469,7 @@ class GILLCore:
                     top_p=top_p, ret_scale_factor=ret_scale_factor,
                     gen_scale_factor=gen_scale_factor,
                     max_img_runs=max_img_runs, max_cache_len=max_cache_len,
-                    rng=rng)
+                    rng=rng, unroll_layers=unroll_layers)
 
             if auto_layout:
                 from jax.experimental import layout as jlayout
@@ -502,7 +509,8 @@ class GILLCore:
                        top_p: float = 1.0, ret_scale_factor: float = 1.0,
                        gen_scale_factor: float = 1.0, max_img_runs: int = 1,
                        rng: Optional[jax.Array] = None,
-                       max_cache_len: Optional[int] = None):
+                       max_cache_len: Optional[int] = None,
+                       unroll_layers: bool = False):
         """KV-cached lax.scan decoding with [IMG] logic (parity target:
         reference GILLModel.generate, gill/models.py:443-532, which
         re-forwards the full prefix per token with use_cache=False).
@@ -586,7 +594,8 @@ class GILLCore:
                 input_embs.dtype)
             out = opt_mod.forward(params["lm"], self.opt_cfg, emb,
                                   cache=cache, cache_pos=pos, lm_head=lm_head,
-                                  collect_hidden=not final_tap)
+                                  collect_hidden=not final_tap,
+                                  unroll_layers=unroll_layers)
             if final_tap:
                 hidden = out["last_hidden"][:, 0]
             else:

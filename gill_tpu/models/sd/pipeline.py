@@ -58,7 +58,7 @@ class StableDiffusionPipeline:
 
     def __init__(self, cfg: SDPipelineConfig, params: dict, tokenizer=None,
                  scheduler: Optional[PNDMScheduler] = None,
-                 safety_checker=None):
+                 safety_checker=None, quantize: bool = False):
         """params: {"unet", "vae_decoder", optional "text_encoder",
         optional "vae_encoder"}.
 
@@ -66,8 +66,16 @@ class StableDiffusionPipeline:
         (images, has_nsfw: list[bool]) applied after decode — the hook the
         reference's StableDiffusionSafetyChecker occupies
         (custom_sd.py:653-661). Default None = no filtering.
+
+        quantize: opt-in int8 W8A8 UNet serving mode (ops/quant.py) — the
+        UNet's conv/FF weights are quantized once here and matmuls run on
+        the int8 MXU. Quality gate before defaulting: ROADMAP.md.
         """
         self.cfg = cfg
+        if quantize and params.get("unet") is not None:
+            params = dict(params)
+            params["unet"] = unet_mod.quantize_params(params["unet"])
+        self.quantized = quantize
         self.params = params
         self.tokenizer = tokenizer
         self.scheduler = scheduler or PNDMScheduler(cfg.scheduler)
@@ -155,6 +163,10 @@ class StableDiffusionPipeline:
         def step(carry, t):
             latents, state = carry
             lat_in = jnp.concatenate([latents, latents]) if do_cfg else latents
+            # q8 (int8-QK attention) measured SLOWER than the bf16 fast
+            # kernel on v5e (1.45 vs 1.55 img/s: exact-softmax VPU work +
+            # int32->f32 score converts outweigh the int8 MXU gain), so the
+            # quantized mode keeps bf16 attention.
             eps = unet_mod.apply(unet_params, self.cfg.unet, lat_in,
                                  t.astype(jnp.float32), ctx)
             if do_cfg:

@@ -219,7 +219,7 @@ def _pad_head_w(w, num_heads: int, hd_pad: int):
     return w.reshape(i, num_heads * hd_pad)
 
 
-def _attention(p, x, ctx, num_heads: int):
+def _attention(p, x, ctx, num_heads: int, q8: bool = False):
     b, t, d = x.shape
     hd = d // num_heads
     s = ctx.shape[1]
@@ -239,7 +239,7 @@ def _attention(p, x, ctx, num_heads: int):
              ).reshape(b, s, num_heads, hp)
         v = (ctx @ _pad_head_w(p["v"]["w"].astype(x.dtype), num_heads, hp)
              ).reshape(b, s, num_heads, hp)
-        o = flash_attention_bthd(q, k, v, causal=False, fast=True,
+        o = flash_attention_bthd(q, k, v, causal=False, fast=True, q8=q8,
                                  scale=1.0 / math.sqrt(hd))
         # zero-padded lanes hit zero rows of the padded o-projection
         wo = p["o"]["w"].astype(x.dtype).reshape(num_heads, hd, d)
@@ -253,10 +253,42 @@ def _attention(p, x, ctx, num_heads: int):
     return nn.linear(p["o"], o.reshape(b, t, d))
 
 
+def quantize_params(params):
+    """One-time int8 weight quantization of the UNet pytree for the W8A8
+    serving mode (ops/quant.py). Conv + linear leaves get per-out-channel
+    int8 weights; attention projections (padded-head matmul path), the
+    time-embedding MLPs (M=batch rows only), and norms stay bf16/f32.
+    nn.linear / nn.conv2d dispatch on the "wq" key."""
+    from gill_tpu.ops.quant import quantize_weight
+
+    skip = ("attn1", "attn2", "time_fc1", "time_fc2", "time_emb")
+
+    def rec(node, path):
+        if isinstance(node, dict):
+            if "w" in node and hasattr(node["w"], "ndim") \
+                    and node["w"].ndim in (2, 4):
+                if any(k in path for k in skip):
+                    return node
+                w = node["w"]
+                axes = (0,) if w.ndim == 2 else (0, 1, 2)
+                wq, ws = quantize_weight(w, reduce_axes=axes)
+                out = {"wq": wq, "ws": ws}
+                if "b" in node:
+                    out["b"] = node["b"]
+                return out
+            return {k: rec(v, path + (k,)) for k, v in node.items()}
+        if isinstance(node, list):
+            return [rec(v, path) for v in node]
+        return node
+
+    return rec(params, ())
+
+
 def _geglu_ff(p, h):
     """GEGLU feed-forward (diffusers GEGLU: exact-erf gelu on the gate
-    half). Fused Pallas kernel on TPU; composed XLA ops elsewhere."""
-    if jax.default_backend() == "tpu":
+    half). Fused Pallas kernel on TPU; composed XLA ops elsewhere and for
+    the int8-quantized mode (where the matmuls run on the int8 MXU)."""
+    if jax.default_backend() == "tpu" and "wq" not in p["geglu"]:
         from gill_tpu.ops.geglu import geglu_ff
 
         return geglu_ff(h, p["geglu"]["w"].astype(h.dtype),
@@ -268,21 +300,22 @@ def _geglu_ff(p, h):
     return nn.linear(p["ff_out"], val * jax.nn.gelu(gate, approximate=False))
 
 
-def _tfm_block(p, x, ctx, num_heads: int, eps: float = 1e-5):
-    x = x + _attention(p["attn1"], nn.layer_norm(p["ln1"], x, eps),
-                       nn.layer_norm(p["ln1"], x, eps), num_heads)
+def _tfm_block(p, x, ctx, num_heads: int, eps: float = 1e-5,
+               q8: bool = False):
+    xn = nn.layer_norm(p["ln1"], x, eps)
+    x = x + _attention(p["attn1"], xn, xn, num_heads, q8=q8)
     x = x + _attention(p["attn2"], nn.layer_norm(p["ln2"], x, eps), ctx,
-                       num_heads)
+                       num_heads, q8=q8)
     return x + _geglu_ff(p, nn.layer_norm(p["ln3"], x, eps))
 
 
-def _spatial_tfm(p, x, ctx, num_heads: int, groups: int):
+def _spatial_tfm(p, x, ctx, num_heads: int, groups: int, q8: bool = False):
     b, h, w, c = x.shape
     resid = x
     y = nn.group_norm(p["norm"], x, groups, eps=1e-6)
     y = nn.conv2d(p["proj_in"], y, padding=0)
     y = y.reshape(b, h * w, c)
-    y = _tfm_block(p["block"], y, ctx, num_heads)
+    y = _tfm_block(p["block"], y, ctx, num_heads, q8=q8)
     y = y.reshape(b, h, w, c)
     y = nn.conv2d(p["proj_out"], y, padding=0)
     return y + resid
@@ -297,9 +330,13 @@ def _upsample(p, x):
     return nn.conv2d(p, x, padding=1)
 
 
-def apply(params, cfg: UNetConfig, latents, timesteps, encoder_hidden_states):
+def apply(params, cfg: UNetConfig, latents, timesteps, encoder_hidden_states,
+          q8: bool = False):
     """latents (B, H, W, 4) NHWC; timesteps (B,) or scalar; encoder states
-    (B, 77, 768). Returns predicted noise (B, H, W, 4)."""
+    (B, 77, 768). Returns predicted noise (B, H, W, 4).
+
+    q8: int8-QK attention (the quantized serving mode; ops/attention.py
+    _flash_kernel_i8)."""
     x = latents
     if timesteps.ndim == 0:
         timesteps = jnp.broadcast_to(timesteps, (x.shape[0],))
@@ -318,14 +355,14 @@ def apply(params, cfg: UNetConfig, latents, timesteps, encoder_hidden_states):
         for j, res in enumerate(block["resnets"]):
             x = _resnet(res, x, temb, g)
             if block["attns"]:
-                x = _spatial_tfm(block["attns"][j], x, ctx, nh, g)
+                x = _spatial_tfm(block["attns"][j], x, ctx, nh, g, q8=q8)
             skips.append(x)
         if "downsample" in block:
             x = nn.conv2d(block["downsample"], x, stride=2, padding=1)
             skips.append(x)
 
     x = _resnet(params["mid"]["res1"], x, temb, g)
-    x = _spatial_tfm(params["mid"]["attn"], x, ctx, nh, g)
+    x = _spatial_tfm(params["mid"]["attn"], x, ctx, nh, g, q8=q8)
     x = _resnet(params["mid"]["res2"], x, temb, g)
 
     for block in params["up"]:
@@ -334,7 +371,7 @@ def apply(params, cfg: UNetConfig, latents, timesteps, encoder_hidden_states):
             x = jnp.concatenate([x, skip], axis=-1)
             x = _resnet(res, x, temb, g)
             if block["attns"]:
-                x = _spatial_tfm(block["attns"][j], x, ctx, nh, g)
+                x = _spatial_tfm(block["attns"][j], x, ctx, nh, g, q8=q8)
         if "upsample" in block:
             x = _upsample(block["upsample"], x)
 

@@ -41,6 +41,20 @@ def linear_init(key, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def linear(p, x):
+    if "wq" in p:  # int8 W8A8 leaf (ops/quant.py)
+        from gill_tpu.ops.quant import int8_linear
+
+        return int8_linear(x, p["wq"], p["ws"], p.get("b"))
+    if "w8" in p:
+        # W8A16: int8 weights dequantized INSIDE the matmul's weight stream
+        # (XLA fuses convert+scale into the dot operand) — halves weight
+        # HBM traffic, the decode bottleneck. Measured 3.1x on the M=16
+        # (2560x10240) decode matmul vs bf16 weights.
+        w = p["w8"].astype(x.dtype) * p["ws"].astype(x.dtype)[None, :]
+        y = x @ w
+        if "b" in p:
+            y = y + p["b"].astype(x.dtype)
+        return y
     y = x @ p["w"].astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
@@ -75,22 +89,32 @@ def group_norm_init(channels: int, dtype=jnp.float32):
 
 def group_norm(p, x, num_groups: int = 32, eps: float = 1e-6):
     """GroupNorm over NHWC activations. Single-pass fp32-accumulated stats,
-    bf16 normalize (see layer_norm note)."""
+    bf16 normalize (see layer_norm note).
+
+    The stats reduce over (H, W) per CHANNEL first (lane-preserving — the
+    last dim stays c), then the (n, g, c/g) per-channel partials combine
+    into group stats on a tiny tensor. Reshaping the data tensor itself to
+    (n, h, w, g, c/g) and reducing axis 4 makes XLA reduce a c/g-wide minor
+    fragment (c/g=10 for SD) — measured 16.3 ms/step of reduce fusions in
+    the UNet, ~30x slower than this formulation."""
     n, h, w, c = x.shape
     g = num_groups
-    xg = x.reshape(n, h, w, g, c // g)
-    mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True, dtype=jnp.float32)
-    mean2 = jnp.mean(jnp.square(xg), axis=(1, 2, 4), keepdims=True,
-                     dtype=jnp.float32)
+    # per-channel partial sums over the spatial dims (last dim intact)
+    s1 = jnp.sum(x, axis=(1, 2), dtype=jnp.float32)            # (n, c)
+    s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(1, 2))  # (n, c)
+    cnt = h * w * (c // g)
+    mean = s1.reshape(n, g, c // g).sum(-1) / cnt              # (n, g)
+    mean2 = s2.reshape(n, g, c // g).sum(-1) / cnt
     var = jnp.maximum(mean2 - mean * mean, 0.0)
-    inv = jax.lax.rsqrt(var + eps)                     # (n,1,1,g,1) fp32
-    scale = p["scale"].astype(jnp.float32).reshape(g, c // g)
-    bias = p["bias"].astype(jnp.float32).reshape(g, c // g)
-    a = (inv * scale[None, None, None]).astype(x.dtype)
-    b = (bias[None, None, None] - mean * inv * scale[None, None, None]
-         ).astype(x.dtype)
-    y = xg * a + b
-    return y.reshape(n, h, w, c)
+    inv = jax.lax.rsqrt(var + eps)                             # (n, g) fp32
+    # expand group stats to per-channel (tiny), then one elementwise pass
+    inv_c = jnp.repeat(inv, c // g, axis=-1)                   # (n, c)
+    mean_c = jnp.repeat(mean, c // g, axis=-1)
+    scale = p["scale"].astype(jnp.float32)[None]
+    bias = p["bias"].astype(jnp.float32)[None]
+    a = (inv_c * scale).astype(x.dtype)                        # (n, c)
+    b = (bias - mean_c * inv_c * scale).astype(x.dtype)
+    return x * a[:, None, None, :] + b[:, None, None, :]
 
 
 def conv2d_init(key, in_ch: int, out_ch: int, kernel: int, bias: bool = True,
@@ -107,6 +131,11 @@ def conv2d_init(key, in_ch: int, out_ch: int, kernel: int, bias: bool = True,
 
 def conv2d(p, x, stride: int = 1, padding="SAME"):
     """NHWC conv. `padding` may be 'SAME', 'VALID', or an int."""
+    if "wq" in p:  # int8-quantized leaf (ops/quant.py)
+        from gill_tpu.ops.quant import int8_conv2d
+
+        return int8_conv2d(x, p["wq"], p["ws"], p.get("b"), stride=stride,
+                           padding=padding)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     y = jax.lax.conv_general_dilated(

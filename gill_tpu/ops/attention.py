@@ -48,6 +48,52 @@ def _xla_attention(q, k, v, *, causal: bool, bias=None, scale: float,
     return jnp.einsum("bhts,bshd->bthd", probs, v)
 
 
+def _decode_attention(q, k, v, *, scale: float, kv_offset=None,
+                      extra_kv=None):
+    """Single-token (t == 1) attention as broadcast-multiply + reduce.
+
+    The einsum formulation lowers to B*H separate M=1 matmuls on TPU —
+    latency-bound, measured 9.4 ms/step (60% of the whole opt-2.7b decode
+    step at batch 16). As elementwise VPU work fused over the KV cache it
+    is bandwidth-bound like the rest of the decode step.
+
+    q (B, 1, H, D); k/v (B, S, H, D). Valid keys are positions
+    <= kv_offset (the query's position); kv_offset None = all of S.
+
+    extra_kv: optional (k1, v1), each (B, 1, H, D) — the query's OWN
+    key/value, attended in addition to the cache. Lets the decode loop
+    defer the cache write (a single small update-slice per step outside
+    the layer scan) instead of round-tripping the whole cache through the
+    scan, which XLA materializes as full-cache copies.
+    """
+    b, _, h, d = q.shape
+    s = k.shape[1]
+    qf = q[:, 0].astype(jnp.float32)                       # (B, H, D)
+    logits = jnp.sum(qf[:, None] * k.astype(jnp.float32), axis=-1)  # (B,S,H)
+    logits = logits * scale
+    if kv_offset is not None:
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, s, 1), 1)
+        logits = jnp.where(pos <= kv_offset, logits, _NEG_INF)
+    if extra_kv is not None:
+        # joint softmax over (cache logits, own-token logit) without
+        # concatenating onto the cache slice (that would copy it)
+        k1, v1 = extra_kv
+        l1 = jnp.sum(qf * k1[:, 0].astype(jnp.float32), axis=-1) * scale
+        m = jnp.maximum(logits.max(axis=1, keepdims=True), l1[:, None])
+        p = jnp.exp(logits - m)                            # (B, S, H)
+        p1 = jnp.exp(l1[:, None] - m)                      # (B, 1, H)
+        denom = p.sum(axis=1, keepdims=True) + p1
+        acc = jnp.sum((p / denom)[..., None].astype(v.dtype) * v, axis=1)
+        acc = acc + (p1 / denom)[..., 0, :, None].astype(v.dtype) \
+            * v1[:, 0].astype(v.dtype)
+        return acc[:, None]
+    m = logits.max(axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / p.sum(axis=1, keepdims=True)
+    out = jnp.sum(p[..., None].astype(v.dtype) * v, axis=1)  # (B, H, D)
+    return out[:, None]
+
+
 # ---------------------------------------------------------------------------
 # Pallas flash attention
 # ---------------------------------------------------------------------------
@@ -241,12 +287,52 @@ def flash_attention(q, k, v, *, causal: bool = False,
     return out[:, :t, :, :d]
 
 
+def _flash_kernel_i8(q_ref, k_ref, v_ref, o_ref, kq_s, ks_s, *, scale: float,
+                     seq_k: int, kv_len: int):
+    """Int8-QK flash program: q and k are dynamically quantized in VMEM
+    (k once per (batch, head) program row — the int8 copy and its scale
+    persist in scratch across q-block grid steps) and the score matmul runs
+    on the int8 MXU at 2x the bf16 rate. Softmax is exact (row max); the
+    PV matmul stays bf16 — quantizing probabilities truncates the tail of
+    flat attention rows (p < 1/254 rounds to 0), which int8 cannot afford.
+
+    Single-pass only (block_k == seq_k). Non-causal.
+    """
+    qi = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _():
+        kf = k_ref[:].astype(jnp.float32)
+        sk = jnp.maximum(jnp.max(jnp.abs(kf)) / 127.0, 1e-12)
+        kq_s[:] = jnp.clip(jnp.round(kf / sk), -127, 127).astype(jnp.int8)
+        ks_s[0, 0] = sk
+
+    qf = q_ref[:].astype(jnp.float32)
+    sq = jnp.maximum(jnp.max(jnp.abs(qf)) / 127.0, 1e-12)
+    qq = jnp.clip(jnp.round(qf / sq), -127, 127).astype(jnp.int8)
+
+    s32 = jax.lax.dot_general(
+        qq, kq_s[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    s_f = s32.astype(jnp.float32) * (sq * ks_s[0, 0] * scale)
+    if kv_len < seq_k:
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, s_f.shape, 1)
+        s_f = jnp.where(k_pos < kv_len, s_f, _NEG_INF)
+    m = s_f.max(axis=-1, keepdims=True)
+    p = jnp.exp(s_f - m)
+    l = p.sum(axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("causal", "block_q", "block_k", "fast",
-                                    "scale"))
+                                    "scale", "q8"))
 def flash_attention_bthd(q, k, v, *, causal: bool = False, scale: float,
                          block_q: int = 0, block_k: int = 0,
-                         fast: bool = False):
+                         fast: bool = False, q8: bool = False):
     """Flash attention over the native (B, T, H, Dp) layout, Dp % 128 == 0.
 
     No transposes or pads: callers keep q/k/v/out in (B, S, H, Dp) and the
@@ -264,10 +350,13 @@ def flash_attention_bthd(q, k, v, *, causal: bool = False, scale: float,
 
     if block_q == 0 or block_k == 0:
         kv_bytes = 2 * s * dp * 2
-        vmem_budget = max(14 * 1024 * 1024 - kv_bytes, 0)
+        import os as _os
+        _bq_cap = int(_os.environ.get("GILL_FLASH_BQ", "1024"))
+        _budget = (14 if _bq_cap <= 512 else 40) * 1024 * 1024
+        vmem_budget = max(_budget - kv_bytes, 0)
         bq_full = (vmem_budget // (4 * max(s, 1))) // 128 * 128
         if not causal and bq_full >= 128:
-            block_q, block_k = min(512, bq_full), s
+            block_q, block_k = min(_bq_cap, bq_full), s
         else:
             block_q, block_k = 512, 512
 
@@ -283,10 +372,17 @@ def flash_attention_bthd(q, k, v, *, causal: bool = False, scale: float,
     vp = _pad_to(v, s_pad, 1).reshape(b, s_pad, h * dp)
 
     grid = (b * h, t_pad // block_q)
-    kernel = functools.partial(
-        _flash_kernel, scale=scale, causal=causal, block_k=block_k,
-        seq_k=s_pad, kv_offset=s - t, kv_len=s, fast=fast,
-    )
+    scratch = []
+    if q8 and not causal and block_k >= s_pad:
+        kernel = functools.partial(
+            _flash_kernel_i8, scale=scale, seq_k=s_pad, kv_len=s)
+        scratch = [pltpu.VMEM((s_pad, dp), jnp.int8),
+                   pltpu.SMEM((1, 1), jnp.float32)]
+    else:
+        kernel = functools.partial(
+            _flash_kernel, scale=scale, causal=causal, block_k=block_k,
+            seq_k=s_pad, kv_offset=s - t, kv_len=s, fast=fast,
+        )
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -301,8 +397,10 @@ def flash_attention_bthd(q, k, v, *, causal: bool = False, scale: float,
         out_specs=pl.BlockSpec((None, block_q, dp),
                                lambda bh, i: (bh // h, i, bh % h)),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, h * dp), q.dtype),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=(64 * 1024 * 1024 if block_q > 512 else None),
         ),
     )(qp, kp, vp)
     return out.reshape(b, t_pad, h, dp)[:, :t]
@@ -322,7 +420,8 @@ def _on_tpu() -> bool:
 def dot_product_attention(q, k, v, *, causal: bool = False,
                           bias: Optional[jax.Array] = None,
                           kv_offset: Optional[jax.Array] = None,
-                          impl: str = "auto", fast: bool = False):
+                          impl: str = "auto", fast: bool = False,
+                          extra_kv=None):
     """Attention core. q (B,T,H,D), k/v (B,S,H,D) -> (B,T,H,D).
 
     impl: 'auto' | 'xla' | 'flash'. 'auto' uses the Pallas kernel on TPU for
@@ -332,9 +431,16 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
     flash_attention) — used by the SD UNet.
     """
     scale = 1.0 / math.sqrt(q.shape[-1])
-    # flash pays off for multi-token queries; single-token decode stays on
-    # the fused XLA path. Short/odd KV lengths (77-token cross-attention)
-    # are padded + masked inside the kernel.
+    if q.shape[1] == 1 and causal and bias is None and impl != "xla":
+        # Single-token decode: mul+reduce over the cache (bandwidth-bound)
+        # instead of B*H latency-bound M=1 matmuls.
+        return _decode_attention(
+            q, k, v, scale=scale, extra_kv=extra_kv,
+            kv_offset=(k.shape[1] - 1 if kv_offset is None else kv_offset)
+        ).astype(q.dtype)
+    assert extra_kv is None, "extra_kv is decode-only"
+    # flash pays off for multi-token queries. Short/odd KV lengths (77-token
+    # cross-attention) are padded + masked inside the kernel.
     use_flash = (
         impl == "flash"
         or (impl == "auto" and _on_tpu() and bias is None and kv_offset is None

@@ -109,3 +109,43 @@ def test_flash_bthd_matches_xla_interpret(fast):
     ref = dot_product_attention(q, k, v, causal=False, impl="xla")
     np.testing.assert_allclose(np.asarray(out[..., :d]), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_flash_bthd_int8_qk_close_to_xla():
+    """Int8-QK kernel (in-VMEM dynamic quantization) vs exact attention."""
+    from gill_tpu.ops.attention import flash_attention_bthd
+
+    key = jax.random.PRNGKey(5)
+    kq, kk, kv = jax.random.split(key, 3)
+    d = 40
+    q = jax.random.normal(kq, (2, 128, 2, d))
+    k = jax.random.normal(kk, (2, 128, 2, d))
+    v = jax.random.normal(kv, (2, 128, 2, d))
+    pad = [(0, 0), (0, 0), (0, 0), (0, 128 - d)]
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_bthd(
+            jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad),
+            causal=False, scale=1.0 / np.sqrt(d), block_q=64, block_k=128,
+            q8=True)
+    ref = dot_product_attention(q, k, v, causal=False, impl="xla")
+    # int8 q/k quantization error bound: scores err ~1e-2 -> post-softmax
+    # output err well under bf16 resolution
+    err = float(jnp.max(jnp.abs(out[..., :d] - ref)))
+    assert err < 0.02, err
+
+
+@pytest.mark.parametrize("kv_offset", [None, 5, 23])
+def test_decode_attention_matches_xla(kv_offset):
+    """Single-token mul+reduce decode path == the einsum formulation."""
+    key = jax.random.PRNGKey(6)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (3, 1, 4, 32))
+    k = jax.random.normal(kk, (3, 24, 4, 32))
+    v = jax.random.normal(kv, (3, 24, 4, 32))
+    out = dot_product_attention(q, k, v, causal=True, kv_offset=kv_offset)
+    ref = dot_product_attention(q, k, v, causal=True, kv_offset=kv_offset,
+                                impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)

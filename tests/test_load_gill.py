@@ -79,3 +79,15 @@ def test_load_gill_without_index(ckpt_dir):
     if len(out) == 2:
         # no index -> decision defaults to 'gen' (reference models.py:702-704)
         assert out[1]["decision"] == ["gen", [0, 1]]
+
+
+def test_load_gill_w8_serving(ckpt_dir):
+    """Opt-in W8A16 LM weights through the full serving path."""
+    from gill_tpu.api import load_gill
+
+    model = load_gill(ckpt_dir, load_sd=False, decision_model_fn=None,
+                      lm_weight_precision="w8")
+    assert "w8" in model.params["lm"]["layers"]["attn"]["q"]
+    out = model.generate_for_images_and_texts(["hello"], num_words=3,
+                                              min_word_tokens=3)
+    assert len(out) >= 1 and isinstance(out[0], str)

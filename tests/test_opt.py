@@ -131,3 +131,34 @@ def test_opt350m_projections():
     j_out = opt_mod.forward(params, cfg, embs)
     np.testing.assert_allclose(np.asarray(j_out["logits"]), t_out.logits.numpy(),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_w8_quantized_decode_close_to_bf16():
+    """W8A16 weight quantization: greedy decode logits stay close on a tiny
+    model (per-channel int8 weights, dequant fused into the matmul)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gill_tpu.config import OPTConfig
+    from gill_tpu.models import opt as opt_mod
+
+    cfg = TINY
+    params = opt_mod.init(jax.random.PRNGKey(0), cfg)
+    qparams = opt_mod.quantize_params_w8(params)
+    assert "w8" in qparams["layers"]["attn"]["q"]
+    assert qparams["layers"]["fc1"]["w8"].dtype == jnp.int8
+
+    emb = jax.random.normal(jax.random.PRNGKey(1),
+                            (2, 6, cfg.word_embed_proj_dim)) * 0.1
+    ref = opt_mod.forward(params, cfg, emb)["logits"]
+    out = opt_mod.forward(qparams, cfg, emb)["logits"]
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.03, rel
+
+    # cached decode path works with w8 leaves too
+    cache = opt_mod.init_cache(cfg, 2, 8)
+    pre = opt_mod.forward(qparams, cfg, emb, cache=cache, cache_pos=0)
+    step = opt_mod.forward(qparams, cfg, emb[:, :1], cache=pre["cache"],
+                           cache_pos=jnp.asarray(6))
+    assert step["logits"].shape == (2, 1, cfg.vocab_size)

@@ -259,9 +259,61 @@ def bench_train_step(opt_name: str, batch: int, max_len: int = 32):
     return batch / dt
 
 
+def bench_matrix():
+    """Default driver mode: run each bench in its OWN subprocess (clean
+    device memory per model), write every metric to BENCH_MATRIX.json, and
+    print the SD north-star line as the single headline."""
+    import subprocess
+    import sys
+
+    runs = [
+        ("sd", {"GILL_BENCH": "sd"}),
+        ("opt_w8", {"GILL_BENCH": "opt", "GILL_BENCH_W8": "1",
+                    "GILL_BENCH_UNROLL": "1"}),
+        ("opt", {"GILL_BENCH": "opt", "GILL_BENCH_UNROLL": "1"}),
+        ("train", {"GILL_BENCH": "train"}),
+    ]
+    results = []
+    headline = None
+    for name, env in runs:
+        full_env = dict(os.environ)
+        full_env.update(env)
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=full_env,
+                capture_output=True, text=True, timeout=2400)
+            got = False
+            for line in out.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    rec = json.loads(line)
+                    results.append(rec)
+                    got = True
+                    if name == "sd":
+                        headline = rec
+            if not got:
+                results.append({"metric": f"{name}_failed",
+                                "error": out.stderr.strip()[-300:]})
+        except Exception as e:
+            results.append({"metric": f"{name}_failed", "error": str(e)[:200]})
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_MATRIX.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    # Headline: the north-star SD metric (BASELINE.json); the full matrix
+    # (decode bf16/W8A16, train) is in BENCH_MATRIX.json.
+    if headline is None and results:
+        headline = next((r for r in results if "value" in r), None)
+    print(json.dumps(headline if headline else {"metric": "bench_failed",
+                                                "value": 0, "unit": "",
+                                                "vs_baseline": 0}))
+
+
 def main():
     _enable_compile_cache()
-    mode = os.environ.get("GILL_BENCH", "opt")
+    mode = os.environ.get("GILL_BENCH", "matrix")
+    if mode == "matrix":
+        bench_matrix()
+        return
     if mode == "train":
         model = os.environ.get("GILL_BENCH_MODEL", "facebook/opt-1.3b")
         batch = int(os.environ.get("GILL_BENCH_BATCH", "32"))

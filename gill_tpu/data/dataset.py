@@ -58,8 +58,24 @@ class TsvDataset:
         emb_path = os.path.join(self.image_dir, "clip_embs",
                                 self.images[idx] + ".npy")
 
-        img = Image.open(image_path)
-        pixels = image_utils.clip_preprocess(img, self.image_size)
+        # Native C++ decode+preprocess engine (JPEG/PNG -> CLIP-normalized
+        # float32 in one pass, matching clip_preprocess within PIL's
+        # fixed-point resample error); PIL fallback for other formats or
+        # when the toolchain is unavailable.
+        pixels = None
+        try:
+            from gill_tpu.native import decode_preprocess
+
+            with open(image_path, "rb") as f:
+                raw = f.read()
+            pixels = decode_preprocess(raw, self.image_size,
+                                       image_utils.CLIP_MEAN.reshape(-1),
+                                       image_utils.CLIP_STD.reshape(-1))
+        except Exception:
+            pixels = None
+        if pixels is None:
+            img = Image.open(image_path)
+            pixels = image_utils.clip_preprocess(img, self.image_size)
 
         clip_emb = np.load(emb_path, allow_pickle=True)
         clip_emb = np.asarray(clip_emb, np.float32)[: self.num_clip_tokens]

@@ -249,7 +249,10 @@ def _attention(p, x, ctx, num_heads: int, q8: bool = False):
     q = nn.linear(p["q"], x).reshape(b, t, num_heads, hd)
     k = nn.linear(p["k"], ctx).reshape(b, s, num_heads, hd)
     v = nn.linear(p["v"], ctx).reshape(b, s, num_heads, hd)
-    o = dot_product_attention(q, k, v, causal=False, fast=True)
+    # inference-only (frozen) UNet: force the Pallas path on TPU even for
+    # the 77-token cross-attention KV (padded + masked in-kernel)
+    impl = "flash" if (jax.default_backend() == "tpu" and t >= 64) else "auto"
+    o = dot_product_attention(q, k, v, causal=False, fast=True, impl=impl)
     return nn.linear(p["o"], o.reshape(b, t, d))
 
 

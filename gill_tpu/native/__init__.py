@@ -99,3 +99,68 @@ def get_bpe_engine(vocab: Dict[str, int],
     if not handle:
         return None
     return BPEEngine(lib, handle)
+
+
+# ---------------------------------------------------------------------------
+# image engine (JPEG/PNG decode + CLIP preprocess; image.cpp)
+# ---------------------------------------------------------------------------
+
+_IMG_LIB_PATH = os.path.join(_HERE, "libgillimage.so")
+_IMG_LIB = None
+_IMG_BUILD_FAILED = False
+
+
+def _load_image_lib():
+    global _IMG_LIB, _IMG_BUILD_FAILED
+    with _LOCK:
+        if _IMG_LIB is not None or _IMG_BUILD_FAILED:
+            return _IMG_LIB
+        src = os.path.join(_HERE, "image.cpp")
+        if not os.path.exists(_IMG_LIB_PATH) or (
+                os.path.getmtime(_IMG_LIB_PATH) < os.path.getmtime(src)):
+            try:
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                     src, "-o", _IMG_LIB_PATH, "-ljpeg", "-lpng"],
+                    check=True, capture_output=True, timeout=180)
+            except Exception:
+                _IMG_BUILD_FAILED = True
+                return None
+        try:
+            lib = ctypes.CDLL(_IMG_LIB_PATH)
+            lib.gill_image_decode_preprocess.restype = ctypes.c_int
+            lib.gill_image_decode_preprocess.argtypes = [
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float)]
+            lib.gill_image_probe.restype = ctypes.c_int
+            lib.gill_image_probe.argtypes = [ctypes.c_char_p, ctypes.c_long]
+            _IMG_LIB = lib
+        except OSError:
+            _IMG_BUILD_FAILED = True
+        return _IMG_LIB
+
+
+def decode_preprocess(data: bytes, image_size: int, mean, std):
+    """JPEG/PNG bytes -> CLIP-normalized float32 (S, S, 3), or None when the
+    native engine is unavailable / the format unrecognized (callers fall
+    back to the PIL path). Matches utils.image.clip_preprocess within PIL's
+    8-bit fixed-point resample error (~2/255 pre-normalization)."""
+    if os.environ.get("GILL_NO_NATIVE_IMAGE") == "1":
+        return None
+    lib = _load_image_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    if lib.gill_image_probe(data, len(data)) < 0:
+        return None
+    out = np.empty((image_size, image_size, 3), np.float32)
+    m = (ctypes.c_float * 3)(*[float(x) for x in mean])
+    s = (ctypes.c_float * 3)(*[float(x) for x in std])
+    rc = lib.gill_image_decode_preprocess(
+        data, len(data), image_size, m, s,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        return None
+    return out

@@ -439,12 +439,15 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
             kv_offset=(k.shape[1] - 1 if kv_offset is None else kv_offset)
         ).astype(q.dtype)
     assert extra_kv is None, "extra_kv is decode-only"
-    # flash pays off for multi-token queries. Short/odd KV lengths (77-token
-    # cross-attention) are padded + masked inside the kernel.
+    # flash pays off for multi-token queries over long KV. The >=256 KV
+    # floor also keeps every TRAINING-path attention (max_len 32 LM seqs,
+    # 77-token mapper) on the differentiable XLA path — pallas_call has no
+    # VJP, and the SD UNet (frozen, inference-only) opts its short-KV
+    # cross-attention in explicitly with impl='flash'.
     use_flash = (
         impl == "flash"
         or (impl == "auto" and _on_tpu() and bias is None and kv_offset is None
-            and q.shape[1] >= 64 and k.shape[1] >= 64)
+            and q.shape[1] > 1 and k.shape[1] >= 256)
     )
     if use_flash:
         return flash_attention(q, k, v, causal=causal, fast=fast)

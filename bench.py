@@ -72,15 +72,35 @@ def bench_opt_decode(model, batch, prompt_len, gen_len):
     cfg = OPTConfig.from_name(model)
     # Zero weights: identical compute/memory-traffic shape as real weights
     # without the PRNG transient buffers that OOM 6.7b on one 16GB chip.
-    params = opt_mod.init_dummy(cfg, dtype=jnp.bfloat16)
     w8 = os.environ.get("GILL_BENCH_W8", "0") == "1"
 
     def make_params():
         p = opt_mod.init_dummy(cfg, jnp.bfloat16)
-        return opt_mod.quantize_params_w8(p) if w8 else p
+        if not w8:
+            return p
+        # Build the quantized structure DIRECTLY from shapes (zero int8
+        # weights, unit scales): quantizing a materialized bf16 tree would
+        # transiently hold 13.4GB + 6.7GB for opt-6.7b and OOM the chip.
+        def q(leaf):
+            L, i, o = leaf["w"].shape
+            out = {"w8": jnp.zeros((L, i, o), jnp.int8),
+                   "ws": jnp.full((L, o), 1e-4, jnp.float32)}
+            if "b" in leaf:
+                out["b"] = leaf["b"]
+            if cfg.hidden_size >= 4096:
+                # Pallas W8 matmul for the big presets (the XLA form's
+                # loop-hoisted bf16 weight copy OOMs at 6.7b)
+                out["kern"] = ()
+            return out
 
-    if w8:
-        params = opt_mod.quantize_params_w8(params)
+        layers = dict(p["layers"])
+        layers["attn"] = {k: q(v) for k, v in layers["attn"].items()}
+        layers["fc1"] = q(layers["fc1"])
+        layers["fc2"] = q(layers["fc2"])
+        p = dict(p)
+        p["layers"] = layers
+        return p
+
     emb_dim = cfg.word_embed_proj_dim
     prompt = jax.random.normal(
         jax.random.PRNGKey(1), (batch, prompt_len, emb_dim), jnp.bfloat16) * 0.02
@@ -113,19 +133,25 @@ def bench_opt_decode(model, batch, prompt_len, gen_len):
     from jax.experimental import layout as jlayout
 
     auto = jlayout.Format(jlayout.Layout.AUTO)
+    # shapes only — never materialize the tree eagerly (the 6.7b bf16 tree
+    # plus its quantized copy would OOM the chip before the bench starts)
     p_shapes = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.eval_shape(make_params))
     auto_tree = jax.tree_util.tree_map(lambda _: auto, p_shapes)
     compiled = jax.jit(decode, in_shardings=(auto_tree, auto)).lower(
         p_shapes, jax.ShapeDtypeStruct(prompt.shape, prompt.dtype)).compile()
     fmts = compiled.input_formats[0]
     # Materialize the zero weights DIRECTLY in the compiler-chosen layout
-    # (a device_put relayout would transiently double the 12.4GB). The w8
-    # tree is small enough to relayout via device_put — and jit
-    # out_shardings cannot always reproduce the compiler's int8 layouts.
-    del params
+    # (a device_put relayout would transiently double the 12.4GB); jit
+    # out_shardings cannot always reproduce the compiler's int8 layouts,
+    # so the w8 tree relayouts leaf-wise instead.
     if w8:
-        params = jax.device_put(jax.jit(make_params)(), fmts[0])
+        # leaf-wise relayout: each copy frees its source immediately, so
+        # the peak is params + one leaf (a whole-tree device_put holds 2x)
+        params = jax.tree_util.tree_map(
+            lambda x, f: jax.device_put(x, f), jax.jit(make_params)(),
+            fmts[0])
     else:
         params = jax.jit(make_params, out_shardings=fmts[0])()
     prompt = jax.device_put(prompt, fmts[1])
@@ -155,7 +181,9 @@ def bench_opt_decode(model, batch, prompt_len, gen_len):
     bf = compiled_b.input_formats[0]
     del params
     if w8:
-        params = jax.device_put(jax.jit(make_params)(), bf[0])
+        params = jax.tree_util.tree_map(
+            lambda x, f: jax.device_put(x, f), jax.jit(make_params)(),
+            bf[0])
     else:
         params = jax.jit(make_params, out_shardings=bf[0])()
     embs = jax.device_put(embs, bf[1])

@@ -116,11 +116,17 @@ def init_dummy(cfg: OPTConfig, dtype=jnp.bfloat16):
     return params
 
 
-def quantize_params_w8(params):
+def quantize_params_w8(params, kernel: bool = None):
     """W8A16 serving quantization of the decoder-layer weights: per-output-
     channel symmetric int8 with bf16-stream dequant (nn.linear "w8" leaves).
     Embeddings, norms, and project_in/out stay bf16 (lookup tables + tiny).
-    Weight HBM traffic — the single-token decode bottleneck — halves."""
+    Weight HBM traffic — the single-token decode bottleneck — halves.
+
+    kernel: force the Pallas W8A16 matmul for small-M calls (ops/w8_matmul)
+    instead of the XLA dequant-in-matmul form. XLA's form is faster when the
+    model is small enough that its loop-hoisted bf16 weight copy fits HBM
+    (<= 2.7b on a 16GB chip); at 6.7b the hoist OOMs and the opaque kernel
+    is required. Default (None): kernel for hidden_size >= 4096 weights."""
     def q(leaf):
         def one(w):  # (in, out) per layer — keeps the fp32 transient small
             wf = w.astype(jnp.float32)
@@ -133,8 +139,13 @@ def quantize_params_w8(params):
         out = {"w8": wq, "ws": ws}  # ws (L, out)
         if "b" in leaf:
             out["b"] = leaf["b"]
+        if use_kernel:
+            out["kern"] = ()  # static marker (empty pytree: no leaf)
         return out
 
+    use_kernel = kernel
+    if use_kernel is None:
+        use_kernel = params["layers"]["attn"]["q"]["w"].shape[-1] >= 4096
     layers = params["layers"]
     new_layers = dict(layers)
     new_layers["attn"] = {k: q(v) for k, v in layers["attn"].items()}

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from gill_tpu.models import clip as clip_mod
 from gill_tpu.models.sd import unet as unet_mod
 from gill_tpu.models.sd import vae as vae_mod
-from gill_tpu.models.sd.scheduler import PNDMScheduler, SchedulerConfig
+from gill_tpu.models.sd.scheduler import (DPMSolverPPScheduler, PNDMScheduler,
+                                          SchedulerConfig)
 
 
 @dataclasses.dataclass
@@ -58,7 +59,8 @@ class StableDiffusionPipeline:
 
     def __init__(self, cfg: SDPipelineConfig, params: dict, tokenizer=None,
                  scheduler: Optional[PNDMScheduler] = None,
-                 safety_checker=None, quantize: bool = False):
+                 safety_checker=None, quantize: bool = False,
+                 sampler: str = "pndm"):
         """params: {"unet", "vae_decoder", optional "text_encoder",
         optional "vae_encoder"}.
 
@@ -78,7 +80,14 @@ class StableDiffusionPipeline:
         self.quantized = quantize
         self.params = params
         self.tokenizer = tokenizer
-        self.scheduler = scheduler or PNDMScheduler(cfg.scheduler)
+        # sampler: "pndm" (reference parity, custom_sd.py's default) or
+        # "dpm++" (DPM-Solver++ 2M — ~20-25 steps match 50-step PNDM
+        # quality; beyond-parity quality-per-second option)
+        if scheduler is None:
+            scheduler = (DPMSolverPPScheduler(cfg.scheduler)
+                         if sampler == "dpm++" else
+                         PNDMScheduler(cfg.scheduler))
+        self.scheduler = scheduler
         self.safety_checker = safety_checker
         # latent channel count for shape math
         self.latent_channels = cfg.vae.latent_channels
@@ -159,8 +168,15 @@ class StableDiffusionPipeline:
         state = self.scheduler.init_state(latents.shape, latents.dtype)
         unet_params = self.params["unet"]
         do_cfg = guidance_scale > 1.0
+        # Multistep solvers with non-uniform timesteps (DPM-Solver++) need
+        # the NEXT timestep explicitly; uniform-grid schedulers derive it
+        # from step_ratio and ignore the argument.
+        prev_fn = getattr(self.scheduler, "prev_timesteps", None)
+        xs = (ts, prev_fn(ts)) if prev_fn is not None else (ts, ts)
+        pass_prev = prev_fn is not None
 
-        def step(carry, t):
+        def step(carry, t_pt):
+            t, pt = t_pt
             latents, state = carry
             lat_in = jnp.concatenate([latents, latents]) if do_cfg else latents
             # q8 (int8-QK attention) measured SLOWER than the bf16 fast
@@ -172,10 +188,15 @@ class StableDiffusionPipeline:
             if do_cfg:
                 eps_u, eps_t = jnp.split(eps, 2, axis=0)
                 eps = eps_u + guidance_scale * (eps_t - eps_u)
-            latents, state = self.scheduler.step(state, eps, t, latents, ratio)
+            if pass_prev:
+                latents, state = self.scheduler.step(state, eps, t, latents,
+                                                     ratio, prev_timestep=pt)
+            else:
+                latents, state = self.scheduler.step(state, eps, t, latents,
+                                                     ratio)
             return (latents, state), None
 
-        (latents, _), _ = jax.lax.scan(step, (latents, state), ts)
+        (latents, _), _ = jax.lax.scan(step, (latents, state), xs)
         return latents
 
     @partial(jax.jit, static_argnames=("self",))

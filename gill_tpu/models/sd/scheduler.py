@@ -173,3 +173,73 @@ class DDIMScheduler:
         x0 = (s - (1.0 - a_t) ** 0.5 * eps) / a_t ** 0.5
         prev = a_prev ** 0.5 * x0 + (1.0 - a_prev) ** 0.5 * eps
         return prev.astype(sample.dtype), state
+
+
+# ---------------------------------------------------------------------------
+# DPM-Solver++ (2M)
+# ---------------------------------------------------------------------------
+
+class DPMSolverPPScheduler:
+    """DPM-Solver++ 2M (diffusers DPMSolverMultistepScheduler with
+    algorithm_type='dpmsolver++', solver_order=2, epsilon prediction,
+    lower_order_final). Beyond-parity sampler: ~20-25 steps reach 50-step
+    PNDM quality, so quality-per-second roughly doubles. State (previous
+    x0 prediction + last lambda step + index) is a fixed-shape pytree;
+    the whole loop compiles into one lax.scan like PNDM.
+    """
+
+    def __init__(self, cfg: SchedulerConfig = SchedulerConfig()):
+        self.cfg = cfg
+        self.acp = alphas_cumprod(cfg)
+        self.init_noise_sigma = 1.0
+
+    def timesteps(self, num_inference_steps: int) -> Tuple[jnp.ndarray, int]:
+        # diffusers: linspace(0, T-1, n+1).round()[::-1][:-1]
+        ts = jnp.linspace(0, self.cfg.num_train_timesteps - 1,
+                          num_inference_steps + 1).round()[::-1][:-1]
+        self._n = num_inference_steps  # static; read at trace time only
+        return ts.astype(jnp.int32), 0
+
+    def prev_timesteps(self, ts: jnp.ndarray) -> jnp.ndarray:
+        return jnp.concatenate([ts[1:], jnp.zeros((1,), ts.dtype)])
+
+    def init_state(self, sample_shape, dtype=jnp.float32):
+        return {
+            "m1": jnp.zeros(sample_shape, jnp.float32),  # previous x0 pred
+            "h_last": jnp.zeros((), jnp.float32),
+            "i": jnp.zeros((), jnp.int32),
+        }
+
+    def step(self, state, model_output, timestep, sample, step_ratio: int,
+             prev_timestep=None):
+        assert prev_timestep is not None, \
+            "DPMSolver++ needs prev_timestep (pipeline passes it)"
+        acp = self.acp
+        f32 = lambda x: x.astype(jnp.float32)
+
+        def coeffs(t):
+            a = jnp.sqrt(acp[t])
+            s = jnp.sqrt(1.0 - acp[t])
+            return a, s, jnp.log(a) - jnp.log(s)
+
+        a_t, s_t, lam_t = coeffs(timestep)
+        a_p, s_p, lam_p = coeffs(prev_timestep)
+        h = lam_p - lam_t
+
+        x = f32(sample)
+        x0 = (x - s_t * f32(model_output)) / a_t  # epsilon -> x0 (dpm++)
+
+        # second-order D with the previous x0; first step (and the final
+        # step when n < 15, diffusers lower_order_final) falls back to 1st
+        r = state["h_last"] / jnp.where(h == 0, 1.0, h)
+        d2 = (1.0 + 1.0 / (2.0 * jnp.where(r == 0, 1.0, r))) * x0 \
+            - (1.0 / (2.0 * jnp.where(r == 0, 1.0, r))) * state["m1"]
+        use_first = state["i"] == 0
+        n = getattr(self, "_n", 1000)
+        if n < 15:
+            use_first = jnp.logical_or(use_first, state["i"] == n - 1)
+        d = jnp.where(use_first, x0, d2)
+
+        prev = (s_p / s_t) * x - a_p * jnp.expm1(-h) * d
+        new_state = {"m1": x0, "h_last": h, "i": state["i"] + 1}
+        return prev.astype(sample.dtype), new_state

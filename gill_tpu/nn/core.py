@@ -46,10 +46,21 @@ def linear(p, x):
 
         return int8_linear(x, p["wq"], p["ws"], p.get("b"))
     if "w8" in p:
-        # W8A16: int8 weights dequantized INSIDE the matmul's weight stream
-        # (XLA fuses convert+scale into the dot operand) — halves weight
-        # HBM traffic, the decode bottleneck. Measured 3.1x on the M=16
-        # (2560x10240) decode matmul vs bf16 weights.
+        # W8A16: int8 weights dequantized inside the matmul weight stream —
+        # halves weight HBM traffic, the decode bottleneck (measured 3.1x
+        # on the M=16 2560x10240 decode matmul vs bf16 weights). Small-M
+        # calls on TPU use the Pallas kernel: the XLA formulation's dequant
+        # is loop-invariant inside a decode scan and gets HOISTED into a
+        # full bf16 weight copy (OOM at opt-6.7b).
+        m = 1
+        for d in x.shape[:-1]:
+            m *= d
+        kdim, n = p["w8"].shape
+        if ("kern" in p and m <= 256 and jax.default_backend() == "tpu"
+                and kdim % 512 == 0 and n % 512 == 0):
+            from gill_tpu.ops.w8_matmul import w8_matmul
+
+            return w8_matmul(x, p["w8"], p["ws"], p.get("b"))
         w = p["w8"].astype(x.dtype) * p["ws"].astype(x.dtype)[None, :]
         y = x @ w
         if "b" in p:

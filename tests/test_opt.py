@@ -162,3 +162,24 @@ def test_w8_quantized_decode_close_to_bf16():
     step = opt_mod.forward(qparams, cfg, emb[:, :1], cache=pre["cache"],
                            cache_pos=jnp.asarray(6))
     assert step["logits"].shape == (2, 1, cfg.vocab_size)
+
+
+def test_w8_matmul_kernel_matches_xla():
+    """Pallas W8A16 kernel (interpret) vs the dequant-then-matmul form."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gill_tpu.ops.w8_matmul import w8_matmul
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(16, 1024).astype(np.float32))
+    w8 = jnp.asarray(rng.randint(-127, 128, (1024, 1024)).astype(np.int8))
+    ws = jnp.asarray((np.abs(rng.randn(1024)) * 1e-3 + 1e-4).astype(np.float32))
+    b = jnp.asarray(rng.randn(1024).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        out = w8_matmul(x, w8, ws, b, block_n=512, block_k=512)
+    ref = x @ (w8.astype(jnp.float32) * ws[None, :]) + b
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)

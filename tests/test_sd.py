@@ -151,3 +151,89 @@ def test_clip_tokenizer_truncate_side():
     assert right.input_ids.shape == left.input_ids.shape == (1, 10)
     assert right.input_ids[0, 0] == tok.bos_token_id
     assert right.input_ids[0, -1] == tok.eos_token_id
+
+
+# ---------------------------------------------------------------------------
+# DPM-Solver++ (2M)
+# ---------------------------------------------------------------------------
+
+def _np_dpmpp_2m_trajectory(eps_fn, x, n_steps, acp, lower_order_final=True):
+    """Independent numpy port of diffusers DPMSolverMultistepScheduler
+    (algorithm_type='dpmsolver++', solver_order=2, prediction_type=
+    'epsilon', lower_order_final): convert_model_output +
+    multistep_dpm_solver_{first,second}_order_update."""
+    T = len(acp)
+    ts = np.linspace(0, T - 1, n_steps + 1).round()[::-1][:-1].astype(int)
+    prev_ts = np.concatenate([ts[1:], [0]])
+    alpha = np.sqrt(acp)
+    sigma = np.sqrt(1.0 - acp)
+    lam = np.log(alpha) - np.log(sigma)
+
+    m = [None, None]  # model (x0) outputs, newest first
+    h_last = None
+    for i, (t, pt) in enumerate(zip(ts, prev_ts)):
+        eps = eps_fn(x, t)
+        x0 = (x - sigma[t] * eps) / alpha[t]
+        h = lam[pt] - lam[t]
+        lower = (i == 0) or (lower_order_final and i == n_steps - 1
+                             and n_steps < 15)
+        if lower or m[0] is None:
+            d = x0
+        else:
+            r = h_last / h
+            d = (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * m[0]
+        x = (sigma[pt] / sigma[t]) * x - alpha[pt] * np.expm1(-h) * d
+        m = [x0, m[0]]
+        h_last = h
+    return x
+
+
+@pytest.mark.parametrize("n_steps", [8, 20])
+def test_dpmpp_matches_numpy_port(n_steps):
+    """Our scan-friendly DPM-Solver++ == the diffusers-structured numpy
+    port on a full trajectory with a deterministic eps function."""
+    from gill_tpu.models.sd.scheduler import (DPMSolverPPScheduler,
+                                              SchedulerConfig)
+
+    cfg = SchedulerConfig()
+    sched = DPMSolverPPScheduler(cfg)
+    acp = np.asarray(sched.acp, np.float64)
+    rng = np.random.RandomState(0)
+    w = rng.randn(4, 4).astype(np.float64) * 0.1
+
+    def eps_np(x, t):
+        return np.tanh(x @ w) + 1e-3 * t / 1000.0
+
+    x0 = rng.randn(2, 4).astype(np.float64)
+    ref = _np_dpmpp_2m_trajectory(eps_np, x0.copy(), n_steps, acp)
+
+    ts, ratio = sched.timesteps(n_steps)
+    prev_ts = sched.prev_timesteps(ts)
+    state = sched.init_state(x0.shape, jnp.float32)
+    x = jnp.asarray(x0, jnp.float32)
+    for t, pt in zip(np.asarray(ts), np.asarray(prev_ts)):
+        eps = jnp.asarray(eps_np(np.asarray(x, np.float64), int(t)),
+                          jnp.float32)
+        x, state = sched.step(state, eps, jnp.asarray(t), x, ratio,
+                              prev_timestep=jnp.asarray(pt))
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_dpmpp_in_pipeline_tiny():
+    """The dpm++ sampler runs through the full tiny pipeline."""
+    from gill_tpu.models.sd import unet as unet_mod
+    from gill_tpu.models.sd import vae as vae_mod
+    from gill_tpu.models.sd.pipeline import (StableDiffusionPipeline,
+                                             tiny_sd_config)
+
+    cfg = tiny_sd_config()
+    k = jax.random.PRNGKey(0)
+    params = {"unet": unet_mod.init(k, cfg.unet),
+              "vae_decoder": vae_mod.init_decoder(k, cfg.vae)}
+    pipe = StableDiffusionPipeline(cfg, params, sampler="dpm++")
+    emb = jax.random.normal(k, (1, cfg.text.max_positions,
+                                cfg.unet.cross_attention_dim))
+    img = pipe(prompt_embeds=emb, num_inference_steps=4, guidance_scale=3.0,
+               height=cfg.default_size, width=cfg.default_size)
+    assert img.shape == (1, cfg.default_size, cfg.default_size, 3)
+    assert bool(jnp.isfinite(img).all())

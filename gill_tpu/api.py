@@ -34,11 +34,14 @@ class GILL:
     def __init__(self, core: GILLCore, params: dict, tokenizer,
                  sd_pipe=None, retrieval_index=None, decision_params=None,
                  num_gen_images: int = 1, auto_layout: Optional[bool] = None,
-                 lm_weight_precision: str = "bf16"):
+                 lm_weight_precision: str = "bf16",
+                 kv_cache_precision: str = "bf16"):
         """lm_weight_precision: "bf16" (parity default) or "w8" — per-channel
         int8 LM weights with dequant fused into the matmul weight stream
         (models/opt.py quantize_params_w8; 2267 vs 1498 tok/s/chip at
-        opt-2.7b batch 16). Opt-in serving mode."""
+        opt-2.7b batch 16). kv_cache_precision: "bf16" or "int8" — int8 KV
+        cache with per-token-per-head scales (halved cache traffic and 2x
+        context headroom). Both opt-in serving modes."""
         if lm_weight_precision == "w8":
             from gill_tpu.models import opt as opt_mod
 
@@ -46,6 +49,8 @@ class GILL:
             params["lm"] = opt_mod.quantize_params_w8(params["lm"])
         elif lm_weight_precision != "bf16":
             raise ValueError(lm_weight_precision)
+        assert kv_cache_precision in ("bf16", "int8"), kv_cache_precision
+        self.kv_int8 = kv_cache_precision == "int8"
         self.lm_weight_precision = lm_weight_precision
         self.core = core
         self.params = params
@@ -74,7 +79,8 @@ class GILL:
 
     def _generate(self, input_embs, **kw):
         out = self.core.generate(self.params, input_embs,
-                                 auto_layout=self.auto_layout, **kw)
+                                 auto_layout=self.auto_layout,
+                                 kv_int8=self.kv_int8, **kw)
         if "params" in out:
             # Adopt the relaid-out weights so later calls skip the placement.
             self.params = out.pop("params")
@@ -299,7 +305,8 @@ def load_gill(model_dir: str, load_ret_embs: bool = True,
               weights_dir: Optional[str] = None, load_sd: bool = True,
               num_gen_images: int = 1, mesh=None,
               dtype=jnp.bfloat16, lm_weight_precision: str = "bf16",
-              sd_precision: str = "bf16") -> GILL:
+              sd_precision: str = "bf16",
+              kv_cache_precision: str = "bf16") -> GILL:
     """Builds an inference GILL from a reference-format checkpoint directory
     (model_args.json + pretrained_ckpt.pth.tar + cc3m*.npy + decision model;
     reference load_gill, gill/models.py:810-902). Frozen backbone weights
@@ -438,7 +445,8 @@ def load_gill(model_dir: str, load_ret_embs: bool = True,
     return GILL(core, params, tokenizer, sd_pipe=sd_pipe,
                 retrieval_index=index, decision_params=decision_params,
                 num_gen_images=num_gen_images,
-                lm_weight_precision=lm_weight_precision)
+                lm_weight_precision=lm_weight_precision,
+                kv_cache_precision=kv_cache_precision)
 
 
 def wloader_sd(sd_dir: str, sd_cfg, dtype=jnp.bfloat16) -> dict:

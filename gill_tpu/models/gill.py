@@ -416,7 +416,8 @@ class GILLCore:
                  rng: Optional[jax.Array] = None,
                  max_cache_len: Optional[int] = None,
                  auto_layout: bool = False,
-                 unroll_layers: Optional[bool] = None):
+                 unroll_layers: Optional[bool] = None,
+                 kv_int8: bool = False):
         """jit-cached wrapper over _generate_impl (one compile per static
         decode configuration; prompt length buckets to reduce recompiles).
 
@@ -455,7 +456,7 @@ class GILLCore:
         statics = (num_words, min_word_tokens, float(temperature),
                    float(top_p), float(ret_scale_factor),
                    float(gen_scale_factor), max_img_runs, max_cache_len,
-                   b, t_pad, e, auto_layout, unroll_layers)
+                   b, t_pad, e, auto_layout, unroll_layers, kv_int8)
         cache = getattr(self, "_gen_cache", None)
         if cache is None:
             cache = {}
@@ -469,7 +470,7 @@ class GILLCore:
                     top_p=top_p, ret_scale_factor=ret_scale_factor,
                     gen_scale_factor=gen_scale_factor,
                     max_img_runs=max_img_runs, max_cache_len=max_cache_len,
-                    rng=rng, unroll_layers=unroll_layers)
+                    rng=rng, unroll_layers=unroll_layers, kv_int8=kv_int8)
 
             if auto_layout:
                 from jax.experimental import layout as jlayout
@@ -510,7 +511,8 @@ class GILLCore:
                        gen_scale_factor: float = 1.0, max_img_runs: int = 1,
                        rng: Optional[jax.Array] = None,
                        max_cache_len: Optional[int] = None,
-                       unroll_layers: bool = False):
+                       unroll_layers: bool = False,
+                       kv_int8: bool = False):
         """KV-cached lax.scan decoding with [IMG] logic (parity target:
         reference GILLModel.generate, gill/models.py:443-532, which
         re-forwards the full prefix per token with use_cache=False).
@@ -544,7 +546,7 @@ class GILLCore:
 
         lm_head = self.lm_head_table(params)
         cache = opt_mod.init_cache(self.opt_cfg, b, max_len,
-                                   dtype=input_embs.dtype)
+                                   dtype=input_embs.dtype, kv_int8=kv_int8)
         pre = opt_mod.forward(params["lm"], self.opt_cfg, input_embs,
                               cache=cache, cache_pos=0, skip_logits=True)
         # Logits at the last REAL prompt position only (input_len may be

@@ -194,7 +194,8 @@ def _layer(cfg: OPTConfig, lp, h, kv_offset=None, cache_kv=None, cache_pos=None)
     v = nn.linear(lp["attn"]["v"], x).reshape(b, t, cfg.num_heads, hd)
 
     if cache_kv is not None:
-        ck, cv = cache_kv
+        ck, cv = cache_kv[0], cache_kv[1]
+        kv8 = ck.dtype == jnp.int8
         if t == 1 and not isinstance(cache_pos, int):
             # Deferred-write decode: attend over the STALE cache (valid
             # keys < cache_pos) plus this token's own k/v, and return just
@@ -203,24 +204,51 @@ def _layer(cfg: OPTConfig, lp, h, kv_offset=None, cache_kv=None, cache_pos=None)
             # Threading updated caches through the scan as stacked outputs
             # made XLA materialize two full-cache copies per decode step
             # (3.3 ms/step at opt-2.7b batch 16).
+            scales = (cache_kv[2], cache_kv[3]) if kv8 else None
             attn = dot_product_attention(q, ck, cv, causal=True,
                                          kv_offset=cache_pos - 1,
-                                         extra_kv=(k, v))
-            new_kv = (k.astype(ck.dtype), v.astype(cv.dtype))
+                                         extra_kv=(k, v), kv_scales=scales)
+            if kv8:
+                k8, ks = _quantize_kv(k)
+                v8, vs = _quantize_kv(v)
+                new_kv = (k8, v8, ks, vs)
+            else:
+                new_kv = (k.astype(ck.dtype), v.astype(cv.dtype))
         else:
-            ck = jax.lax.dynamic_update_slice(
-                ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
-            cv = jax.lax.dynamic_update_slice(
-                cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
             if isinstance(cache_pos, int) and cache_pos == 0:
                 # Prefill: attend over the just-computed prompt k/v rather
                 # than the full preallocated cache — shorter KV span and a
                 # static zero offset, so the Pallas flash path is eligible.
                 attn = dot_product_attention(q, k, v, causal=True)
             else:
-                attn = dot_product_attention(q, ck, cv, causal=True,
+                assert not kv8, "int8 KV cache: prefill/decode paths only"
+                ck2 = jax.lax.dynamic_update_slice(
+                    ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
+                cv2 = jax.lax.dynamic_update_slice(
+                    cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
+                attn = dot_product_attention(q, ck2, cv2, causal=True,
                                              kv_offset=cache_pos)
-            new_kv = (ck, cv)
+                ck, cv = ck2, cv2
+            if kv8:
+                k8, ks = _quantize_kv(k)
+                v8, vs = _quantize_kv(v)
+                new_kv = (
+                    jax.lax.dynamic_update_slice(ck, k8, (0, cache_pos, 0, 0)),
+                    jax.lax.dynamic_update_slice(cv, v8, (0, cache_pos, 0, 0)),
+                    jax.lax.dynamic_update_slice(
+                        cache_kv[2], ks, (0, cache_pos, 0)),
+                    jax.lax.dynamic_update_slice(
+                        cache_kv[3], vs, (0, cache_pos, 0)),
+                )
+            elif isinstance(cache_pos, int) and cache_pos == 0:
+                new_kv = (
+                    jax.lax.dynamic_update_slice(
+                        ck, k.astype(ck.dtype), (0, cache_pos, 0, 0)),
+                    jax.lax.dynamic_update_slice(
+                        cv, v.astype(cv.dtype), (0, cache_pos, 0, 0)),
+                )
+            else:
+                new_kv = (ck, cv)
     else:
         attn = dot_product_attention(q, k, v, causal=True, kv_offset=kv_offset)
         new_kv = (k, v)
@@ -282,52 +310,47 @@ def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
     defer = (cache is not None and t == 1
              and not isinstance(cache_pos, int))
 
+    kv8 = cache is not None and cache["k"].dtype == jnp.int8
     if cache is not None:
+        ckeys = ("k", "v", "ks", "vs") if kv8 else ("k", "v")
+
+        def assemble(news):
+            """news: per-cache-key stacked layer outputs. Deferred decode:
+            ONE small update-slice per cache array; otherwise the stacked
+            outputs ARE the new cache."""
+            if not defer:
+                return dict(zip(ckeys, news))
+            out = {}
+            for key, new in zip(ckeys, news):
+                idx = (0, 0, cache_pos) + (0,) * (cache[key].ndim - 3)
+                out[key] = jax.lax.dynamic_update_slice(cache[key], new, idx)
+            return out
+
         if unroll_layers:
-            # Python-unrolled layers: per-layer weight slices feed the
-            # matmuls directly, avoiding XLA's layout-normalization copies
-            # of the full stacked q/k/v tensors (3GB for opt-6.7b) that a
-            # scan over weight xs incurs. Compile time grows ~linearly in L;
-            # use for single-chip serving of the big presets.
-            hs_list, ks, vs = [], [], []
+            hs_list = []
+            news = [[] for _ in ckeys]
             for i in range(cfg.num_layers):
                 lp = jax.tree_util.tree_map(lambda x, i=i: x[i],
                                             params["layers"])
-                h, (nk, nv) = _layer(cfg, lp, h, cache_kv=(cache["k"][i],
-                                                           cache["v"][i]),
-                                     cache_pos=cache_pos)
+                h, nkv = _layer(cfg, lp, h,
+                                cache_kv=tuple(cache[k][i] for k in ckeys),
+                                cache_pos=cache_pos)
                 hs_list.append(h)
-                ks.append(nk)
-                vs.append(nv)
+                for lst, n in zip(news, nkv):
+                    lst.append(n)
             hs = jnp.stack(hs_list) if collect_hidden else None
-            new_k, new_v = jnp.stack(ks), jnp.stack(vs)
-            if defer:
-                out_cache = {
-                    "k": jax.lax.dynamic_update_slice(
-                        cache["k"], new_k, (0, 0, cache_pos, 0, 0)),
-                    "v": jax.lax.dynamic_update_slice(
-                        cache["v"], new_v, (0, 0, cache_pos, 0, 0)),
-                }
-            else:
-                out_cache = {"k": new_k, "v": new_v}
+            out_cache = assemble([jnp.stack(lst) for lst in news])
         else:
             def body(h, xs):
-                lp, ck, cv = xs
-                h, (nk, nv) = _layer(cfg, lp, h, cache_kv=(ck, cv),
-                                     cache_pos=cache_pos)
-                return h, (h, nk, nv)
+                lp = xs[0]
+                h, nkv = _layer(cfg, lp, h, cache_kv=xs[1:],
+                                cache_pos=cache_pos)
+                return h, (h,) + nkv
 
-            h, (hs, new_k, new_v) = jax.lax.scan(
-                body, h, (params["layers"], cache["k"], cache["v"]))
-            if defer:
-                out_cache = {
-                    "k": jax.lax.dynamic_update_slice(
-                        cache["k"], new_k, (0, 0, cache_pos, 0, 0)),
-                    "v": jax.lax.dynamic_update_slice(
-                        cache["v"], new_v, (0, 0, cache_pos, 0, 0)),
-                }
-            else:
-                out_cache = {"k": new_k, "v": new_v}
+            h, ys = jax.lax.scan(
+                body, h, (params["layers"],) + tuple(cache[k] for k in ckeys))
+            hs = ys[0]
+            out_cache = assemble(list(ys[1:]))
     else:
         def body(h, lp):
             if remat:
@@ -383,6 +406,27 @@ def loss_fn(logits, labels, ignore_index: int = -100):
 # KV cache
 # ---------------------------------------------------------------------------
 
-def init_cache(cfg: OPTConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
+def init_cache(cfg: OPTConfig, batch: int, max_seq: int, dtype=jnp.bfloat16,
+               kv_int8: bool = False):
+    """Preallocated KV cache. kv_int8: int8 values with per-token-per-head
+    fp32 scales ("ks"/"vs") — halves the cache HBM traffic that dominates
+    long-context decode steps, with fully dynamic (per written token)
+    quantization. Supported on the prefill (static cache_pos=0) and
+    deferred single-token decode paths."""
     shape = (cfg.num_layers, batch, max_seq, cfg.num_heads, cfg.head_dim)
+    if kv_int8:
+        sshape = shape[:-1]
+        return {"k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "ks": jnp.zeros(sshape, jnp.float32),
+                "vs": jnp.zeros(sshape, jnp.float32)}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _quantize_kv(x):
+    """(B, T, H, D) -> int8 values + per-(B,T,H) fp32 scales."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    x8 = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return x8, scale

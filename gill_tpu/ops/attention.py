@@ -49,7 +49,7 @@ def _xla_attention(q, k, v, *, causal: bool, bias=None, scale: float,
 
 
 def _decode_attention(q, k, v, *, scale: float, kv_offset=None,
-                      extra_kv=None):
+                      extra_kv=None, kv_scales=None):
     """Single-token (t == 1) attention as broadcast-multiply + reduce.
 
     The einsum formulation lowers to B*H separate M=1 matmuls on TPU —
@@ -70,6 +70,12 @@ def _decode_attention(q, k, v, *, scale: float, kv_offset=None,
     s = k.shape[1]
     qf = q[:, 0].astype(jnp.float32)                       # (B, H, D)
     logits = jnp.sum(qf[:, None] * k.astype(jnp.float32), axis=-1)  # (B,S,H)
+    vdt = jnp.bfloat16 if v.dtype == jnp.int8 else v.dtype
+    if kv_scales is not None:
+        # int8 KV cache: per-token-per-head scales (B, S, H) fold into the
+        # same elementwise passes — no extra traffic
+        ks, vs = kv_scales
+        logits = logits * ks.astype(jnp.float32)
     logits = logits * scale
     if kv_offset is not None:
         pos = jax.lax.broadcasted_iota(jnp.int32, (1, s, 1), 1)
@@ -83,14 +89,19 @@ def _decode_attention(q, k, v, *, scale: float, kv_offset=None,
         p = jnp.exp(logits - m)                            # (B, S, H)
         p1 = jnp.exp(l1[:, None] - m)                      # (B, 1, H)
         denom = p.sum(axis=1, keepdims=True) + p1
-        acc = jnp.sum((p / denom)[..., None].astype(v.dtype) * v, axis=1)
-        acc = acc + (p1 / denom)[..., 0, :, None].astype(v.dtype) \
-            * v1[:, 0].astype(v.dtype)
+        pfac = p / denom
+        if kv_scales is not None:
+            pfac = pfac * vs.astype(jnp.float32)
+        acc = jnp.sum(pfac[..., None].astype(vdt) * v.astype(vdt), axis=1)
+        acc = acc + (p1 / denom)[..., 0, :, None].astype(vdt) \
+            * v1[:, 0].astype(vdt)
         return acc[:, None]
     m = logits.max(axis=1, keepdims=True)
     p = jnp.exp(logits - m)
     p = p / p.sum(axis=1, keepdims=True)
-    out = jnp.sum(p[..., None].astype(v.dtype) * v, axis=1)  # (B, H, D)
+    if kv_scales is not None:
+        p = p * vs.astype(jnp.float32)
+    out = jnp.sum(p[..., None].astype(vdt) * v.astype(vdt), axis=1)  # (B,H,D)
     return out[:, None]
 
 
@@ -421,7 +432,7 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
                           bias: Optional[jax.Array] = None,
                           kv_offset: Optional[jax.Array] = None,
                           impl: str = "auto", fast: bool = False,
-                          extra_kv=None):
+                          extra_kv=None, kv_scales=None):
     """Attention core. q (B,T,H,D), k/v (B,S,H,D) -> (B,T,H,D).
 
     impl: 'auto' | 'xla' | 'flash'. 'auto' uses the Pallas kernel on TPU for
@@ -435,10 +446,11 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
         # Single-token decode: mul+reduce over the cache (bandwidth-bound)
         # instead of B*H latency-bound M=1 matmuls.
         return _decode_attention(
-            q, k, v, scale=scale, extra_kv=extra_kv,
+            q, k, v, scale=scale, extra_kv=extra_kv, kv_scales=kv_scales,
             kv_offset=(k.shape[1] - 1 if kv_offset is None else kv_offset)
         ).astype(q.dtype)
-    assert extra_kv is None, "extra_kv is decode-only"
+    assert extra_kv is None and kv_scales is None, \
+        "extra_kv/kv_scales are decode-only"
     # flash pays off for multi-token queries over long KV. The >=256 KV
     # floor also keeps every TRAINING-path attention (max_len 32 LM seqs,
     # 77-token mapper) on the differentiable XLA path — pallas_call has no

@@ -138,3 +138,24 @@ def test_sampled_decode_runs(core_params):
                         top_p=0.9, rng=jax.random.PRNGKey(7))
     assert out["tokens"].shape == (2, 4 + NUM_TOKENS - 1)
     assert np.asarray(out["tokens"]).max() < VOCAB_LEN
+
+
+def test_kv_int8_cache_decode_matches_bf16(core_params):
+    """int8 KV cache (per-token-per-head scales) produces the same greedy
+    tokens as the bf16 cache on a tiny model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    core, params = core_params
+    emb = jax.random.normal(jax.random.PRNGKey(3),
+                            (2, 7, core.opt_cfg.word_embed_proj_dim)) * 0.3
+    ref = core._generate_impl(params, emb, num_words=8, min_word_tokens=8)
+    out = core._generate_impl(params, emb, num_words=8, min_word_tokens=8,
+                              kv_int8=True)
+    np.testing.assert_array_equal(np.asarray(ref["tokens"]),
+                                  np.asarray(out["tokens"]))
+    # hidden states close (int8 cache quantization noise only)
+    rel = float(jnp.linalg.norm(out["hidden"] - ref["hidden"])
+                / jnp.linalg.norm(ref["hidden"]))
+    assert rel < 0.02, rel

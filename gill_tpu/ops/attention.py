@@ -428,6 +428,71 @@ def _on_tpu() -> bool:
         return False
 
 
+def _decode_attention_chunked(q, k, v, *, scale: float, kv_offset,
+                              extra_kv=None, kv_scales=None,
+                              chunk: int = 256):
+    """Decode attention over ONLY the valid cache prefix, in chunks.
+
+    The single-pass formulation reads the whole preallocated cache every
+    step; for chat-length buckets (S >= 512) most of it is masked padding.
+    A fori_loop with a DYNAMIC trip count (ceil((kv_offset+1)/chunk)) runs
+    an online max/sum update per chunk — each step reads only the chunks
+    that contain valid keys, so cache traffic follows the true context
+    length instead of the bucket size.
+    """
+    b, _, h, d = q.shape
+    s = k.shape[1]
+    qf = q[:, 0].astype(jnp.float32)                       # (B, H, D)
+    vdt = jnp.bfloat16 if v.dtype == jnp.int8 else v.dtype
+
+    def body(i, carry):
+        m, l, acc = carry
+        k_blk = jax.lax.dynamic_slice_in_dim(k, i * chunk, chunk, 1)
+        v_blk = jax.lax.dynamic_slice_in_dim(v, i * chunk, chunk, 1)
+        logits = jnp.sum(qf[:, None] * k_blk.astype(jnp.float32), axis=-1)
+        if kv_scales is not None:
+            ks, vs = kv_scales
+            ks_blk = jax.lax.dynamic_slice_in_dim(ks, i * chunk, chunk, 1)
+            vs_blk = jax.lax.dynamic_slice_in_dim(vs, i * chunk, chunk, 1)
+            logits = logits * ks_blk.astype(jnp.float32)
+        logits = logits * scale
+        pos = i * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk, 1), 1)
+        logits = jnp.where(pos <= kv_offset, logits, _NEG_INF)
+        m_new = jnp.maximum(m, logits.max(axis=1, keepdims=True))
+        p = jnp.exp(logits - m_new)
+        if kv_scales is not None:
+            p = p * vs_blk.astype(jnp.float32)
+            # l must sum raw probabilities; vs folds only into the PV term
+            l_term = jnp.exp(logits - m_new).sum(axis=1, keepdims=True)
+        else:
+            l_term = p.sum(axis=1, keepdims=True)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + l_term
+        acc_new = acc * alpha[:, 0, :, None] + jnp.sum(
+            p[..., None].astype(vdt) * v_blk.astype(vdt), axis=1
+        ).astype(jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((b, 1, h), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, 1, h), jnp.float32)
+    acc0 = jnp.zeros((b, h, d), jnp.float32)
+    n_chunks = jnp.minimum(kv_offset // chunk + 1, s // chunk)
+    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+
+    if extra_kv is not None:
+        k1, v1 = extra_kv
+        l1 = jnp.sum(qf * k1[:, 0].astype(jnp.float32), axis=-1) * scale
+        m_new = jnp.maximum(m, l1[:, None])
+        alpha = jnp.exp(m - m_new)
+        p1 = jnp.exp(l1[:, None] - m_new)                  # (B, 1, H)
+        l = l * alpha + p1
+        acc = acc * alpha[:, 0, :, None] + (
+            p1[:, 0, :, None].astype(vdt) * v1[:, 0].astype(vdt)
+        ).astype(jnp.float32)
+    out = acc / jnp.maximum(l[:, 0, :, None], 1e-30)
+    return out[:, None].astype(q.dtype)
+
+
 def dot_product_attention(q, k, v, *, causal: bool = False,
                           bias: Optional[jax.Array] = None,
                           kv_offset: Optional[jax.Array] = None,
@@ -444,11 +509,24 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
     scale = 1.0 / math.sqrt(q.shape[-1])
     if q.shape[1] == 1 and causal and bias is None and impl != "xla":
         # Single-token decode: mul+reduce over the cache (bandwidth-bound)
-        # instead of B*H latency-bound M=1 matmuls.
+        # instead of B*H latency-bound M=1 matmuls. Long caches read only
+        # the valid prefix, chunked.
+        off = k.shape[1] - 1 if kv_offset is None else kv_offset
+        # Valid-prefix chunked reads are OFF by default: measured SLOWER on
+        # v5e (491 vs 867 tok/s at opt-2.7b w8+kv8, 512-prompt/512-gen) —
+        # the dynamic-trip-count loop defeats XLA's DMA pipelining, which
+        # hides the full-cache read better than skipping half of it saves.
+        # Available for very long buckets via GILL_DECODE_CHUNK_MIN.
+        import os as _os
+        _chunk_min = int(_os.environ.get("GILL_DECODE_CHUNK_MIN", "0"))
+        if (_chunk_min > 0 and k.shape[1] >= _chunk_min
+                and k.shape[1] % 256 == 0 and kv_offset is not None):
+            return _decode_attention_chunked(
+                q, k, v, scale=scale, extra_kv=extra_kv,
+                kv_scales=kv_scales, kv_offset=off)
         return _decode_attention(
             q, k, v, scale=scale, extra_kv=extra_kv, kv_scales=kv_scales,
-            kv_offset=(k.shape[1] - 1 if kv_offset is None else kv_offset)
-        ).astype(q.dtype)
+            kv_offset=off).astype(q.dtype)
     assert extra_kv is None and kv_scales is None, \
         "extra_kv/kv_scales are decode-only"
     # flash pays off for multi-token queries over long KV. The >=256 KV

@@ -149,3 +149,38 @@ def test_decode_attention_matches_xla(kv_offset):
                                 impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
                                rtol=2e-5)
+
+
+@pytest.mark.parametrize("with_extra", [False, True])
+@pytest.mark.parametrize("with_scales", [False, True])
+def test_chunked_decode_attention_matches_plain(with_extra, with_scales):
+    """Valid-prefix chunked decode attention == the single-pass version
+    (long caches read only the chunks holding valid keys)."""
+    from gill_tpu.ops.attention import (_decode_attention,
+                                        _decode_attention_chunked)
+
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, s, h, d = 2, 768, 2, 16
+    q = jax.random.normal(kq, (b, 1, h, d))
+    k = jax.random.normal(kk, (b, s, h, d))
+    v = jax.random.normal(kv, (b, s, h, d))
+    extra = None
+    if with_extra:
+        ek = jax.random.normal(jax.random.PRNGKey(8), (b, 1, h, d))
+        ev = jax.random.normal(jax.random.PRNGKey(9), (b, 1, h, d))
+        extra = (ek, ev)
+    scales = None
+    if with_scales:
+        ks = jnp.abs(jax.random.normal(jax.random.PRNGKey(10), (b, s, h))) + 0.5
+        vs = jnp.abs(jax.random.normal(jax.random.PRNGKey(11), (b, s, h))) + 0.5
+        scales = (ks, vs)
+    for off in (3, 300, 767):
+        kv_offset = jnp.asarray(off)
+        ref = _decode_attention(q, k, v, scale=0.25, kv_offset=kv_offset,
+                                extra_kv=extra, kv_scales=scales)
+        out = _decode_attention_chunked(q, k, v, scale=0.25,
+                                        kv_offset=kv_offset, extra_kv=extra,
+                                        kv_scales=scales)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, rtol=3e-5)

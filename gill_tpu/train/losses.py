@@ -49,10 +49,20 @@ def token_accuracy(logits, labels, ignore_index: int = -100, topk=(1, 5)):
 
     logits: (B, T, V) *unshifted* (caller passes logits[:, :-1] vs
     labels[:, 1:] like reference main.py:504).
+
+    Rank computed by COUNTING logits above the target's (one compare+sum
+    pass over V) instead of lax.top_k — the top_k sort over the 50k vocab
+    was 69 ms of the 345 ms opt-1.3b train step on a v5e (20% of the step
+    spent ranking a metric). Tie-handling: a strict count ranks the target
+    optimistically on exact ties, which matches top_k's stable order for
+    the common case (target among equals counts as a hit either way at
+    k >= tie group start); exact float ties in logits are measure-zero in
+    training.
     """
     valid = labels != ignore_index
-    k_max = max(topk)
-    _, pred = jax.lax.top_k(logits, k_max)  # (B, T, k)
-    correct = (pred == labels[..., None]) & valid[..., None]
+    safe_labels = jnp.where(valid, labels, 0)
+    target_logit = jnp.take_along_axis(
+        logits, safe_labels[..., None], axis=-1)  # (B, T, 1)
+    rank = jnp.sum(logits > target_logit, axis=-1)  # 0 = argmax
     denom = jnp.maximum(valid.sum(), 1)
-    return [100.0 * correct[..., :k].sum() / denom for k in topk]
+    return [100.0 * ((rank < k) & valid).sum() / denom for k in topk]

@@ -13,8 +13,16 @@ so every timed region runs N iterations inside one compiled program,
 returns a scalar, and costs are taken as deltas between two N values to
 cancel the fixed dispatch overhead.
 
-Env knobs: GILL_BENCH_MODEL (default facebook/opt-6.7b), GILL_BENCH_BATCH
-(default 8), GILL_BENCH_PROMPT (32), GILL_BENCH_GEN (128).
+Env knobs: GILL_BENCH (matrix|sd|sd_dpm|sd_int8|opt|train),
+GILL_BENCH_MODEL (default facebook/opt-2.7b), GILL_BENCH_BATCH (default 16
+for opt, 4 for sd), GILL_BENCH_PROMPT (32), GILL_BENCH_GEN (96),
+GILL_BENCH_BUDGET (matrix mode total wall budget in seconds, default 900).
+
+Matrix-mode contract (driver runs `python bench.py` under a timeout): the
+headline bench runs FIRST in its own subprocess and its JSON line is printed
+(and flushed) the moment it lands; the remaining matrix entries then refresh
+BENCH_MATRIX.json strictly within the remaining GILL_BENCH_BUDGET, rewriting
+the file after EVERY entry so a kill never loses completed results.
 """
 
 import json
@@ -55,11 +63,17 @@ def _dispatch_overhead() -> float:
 
 
 def _timed_scalar(fn, *args) -> float:
-    """Warm wall time of one dispatch returning a scalar, overhead-corrected."""
+    """Warm wall time of one dispatch returning a scalar, overhead-corrected.
+
+    Median of 3 timed dispatches: single-shot timing over the remote relay is
+    vulnerable to multi-ms network jitter (round-2 A/B runs varied ~2%)."""
     float(fn(*args))  # warm / compile
-    t0 = time.perf_counter()
-    float(fn(*args))
-    return max(time.perf_counter() - t0 - _dispatch_overhead(), 1e-9)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        samples.append(time.perf_counter() - t0)
+    return max(sorted(samples)[1] - _dispatch_overhead(), 1e-9)
 
 
 def bench_opt_decode(model, batch, prompt_len, gen_len):
@@ -289,60 +303,166 @@ def bench_train_step(opt_name: str, batch: int, max_len: int = 32):
     return batch / dt
 
 
-def bench_matrix():
-    """Default driver mode: run each bench in its OWN subprocess (clean
-    device memory per model), write every metric to BENCH_MATRIX.json, and
-    print the SD north-star line as the single headline."""
+# Matrix entries, most-important first. Each runs in its own subprocess
+# (clean device memory per model; the TPU relay is single-holder so children
+# run strictly serially). "est" is a warm-cache wall estimate used only to
+# decide whether an entry still fits the remaining budget.
+_MATRIX_RUNS = [
+    ("sd", {"GILL_BENCH": "sd"}, 300),
+    ("sd_dpm", {"GILL_BENCH": "sd_dpm"}, 120),
+    ("opt_w8", {"GILL_BENCH": "opt", "GILL_BENCH_W8": "1",
+                "GILL_BENCH_UNROLL": "1"}, 180),
+    ("opt", {"GILL_BENCH": "opt", "GILL_BENCH_UNROLL": "1"}, 180),
+    # opt-6.7b: the reference's actual LM (gill/models.py:56-73). bf16
+    # weights alone are 13.4GB, so the feasible single-chip serving config
+    # is W8A16 (+ optionally int8 KV) at batch 8; the 2.7b entries above are
+    # the batch-16 proxy.
+    ("opt67_w8", {"GILL_BENCH": "opt", "GILL_BENCH_W8": "1",
+                  "GILL_BENCH_UNROLL": "1",
+                  "GILL_BENCH_MODEL": "facebook/opt-6.7b",
+                  "GILL_BENCH_BATCH": "8"}, 240),
+    ("opt67_w8_kv8", {"GILL_BENCH": "opt", "GILL_BENCH_W8": "1",
+                      "GILL_BENCH_KV8": "1", "GILL_BENCH_UNROLL": "1",
+                      "GILL_BENCH_MODEL": "facebook/opt-6.7b",
+                      "GILL_BENCH_BATCH": "8"}, 240),
+    ("train", {"GILL_BENCH": "train"}, 240),
+]
+
+
+# The live bench child, so a driver-side `timeout` TERM of this process can
+# take the child down too (the TPU relay is single-holder: an orphaned child
+# would block every later TPU user).
+_ACTIVE_CHILD = None
+
+
+def _install_term_handler():
+    import signal
+
+    def _on_term(signum, frame):
+        child = _ACTIVE_CHILD
+        if child is not None and child.poll() is None:
+            child.kill()
+        raise SystemExit(128 + signum)
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except Exception:
+        pass
+
+
+def _run_one_subprocess(name, env, timeout_s):
+    """Run one bench entry in a subprocess; return its parsed JSON record."""
     import subprocess
     import sys
 
-    runs = [
-        ("sd", {"GILL_BENCH": "sd"}),
-        ("sd_dpm", {"GILL_BENCH": "sd_dpm"}),
-        ("opt_w8", {"GILL_BENCH": "opt", "GILL_BENCH_W8": "1",
-                    "GILL_BENCH_UNROLL": "1"}),
-        ("opt", {"GILL_BENCH": "opt", "GILL_BENCH_UNROLL": "1"}),
-        ("train", {"GILL_BENCH": "train"}),
-    ]
-    results = []
-    headline = None
-    for name, env in runs:
-        full_env = dict(os.environ)
-        full_env.update(env)
+    global _ACTIVE_CHILD
+    full_env = dict(os.environ)
+    full_env.update(env)
+    full_env["GILL_BENCH_CHILD"] = "1"
+    try:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)], env=full_env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        _ACTIVE_CHILD = proc
         try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=full_env,
-                capture_output=True, text=True, timeout=2400)
-            got = False
-            for line in out.stdout.splitlines():
-                line = line.strip()
-                if line.startswith("{"):
-                    rec = json.loads(line)
-                    results.append(rec)
-                    got = True
-                    if name == "sd":
-                        headline = rec
-            if not got:
-                results.append({"metric": f"{name}_failed",
-                                "error": out.stderr.strip()[-300:]})
-        except Exception as e:
-            results.append({"metric": f"{name}_failed", "error": str(e)[:200]})
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_MATRIX.json"), "w") as f:
-        json.dump(results, f, indent=1)
-    # Headline: the north-star SD metric (BASELINE.json); the full matrix
-    # (decode bf16/W8A16, train) is in BENCH_MATRIX.json.
-    if headline is None and results:
-        headline = next((r for r in results if "value" in r), None)
-    print(json.dumps(headline if headline else {"metric": "bench_failed",
-                                                "value": 0, "unit": "",
-                                                "vs_baseline": 0}))
+            stdout, stderr = proc.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
+            return {"bench": name, "metric": f"{name}_failed",
+                    "error": f"timeout after {timeout_s:.0f}s"}
+        finally:
+            _ACTIVE_CHILD = None
+        for line in stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                rec = json.loads(line)
+                rec["bench"] = name
+                return rec
+        return {"bench": name, "metric": f"{name}_failed",
+                "error": stderr.strip()[-300:]}
+    except Exception as e:
+        return {"bench": name, "metric": f"{name}_failed",
+                "error": str(e)[:200]}
+
+
+def _matrix_path():
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_MATRIX.json")
+
+
+def _write_matrix(by_name):
+    """Rewrite BENCH_MATRIX.json in _MATRIX_RUNS order (stale-but-known
+    entries keep their old record, visibly lacking this run's stamp)."""
+    order = [n for n, _, _ in _MATRIX_RUNS]
+    rows = [by_name[n] for n in order if n in by_name]
+    rows += [r for n, r in by_name.items() if n not in order]
+    tmp = _matrix_path() + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rows, f, indent=1)
+    os.replace(tmp, _matrix_path())
+
+
+def bench_matrix():
+    """Default driver mode. Contract (VERDICT r2 #1): print the headline
+    JSON line as soon as the headline bench lands, then refresh the
+    remaining BENCH_MATRIX.json entries within GILL_BENCH_BUDGET seconds,
+    rewriting the file incrementally so a kill never loses finished work."""
+    budget = float(os.environ.get("GILL_BENCH_BUDGET", "900"))
+    t_start = time.perf_counter()
+
+    # Previous matrix (entries not re-run within budget keep their last
+    # known value; "stamp" marks which values are from THIS invocation).
+    by_name = {}
+    try:
+        with open(_matrix_path()) as f:
+            for rec in json.load(f):
+                key = rec.get("bench") or rec.get("metric", "?")
+                rec.pop("stamp", None)
+                by_name.setdefault(key, rec)
+    except Exception:
+        pass
+
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    headline = None
+    headline_printed = False
+    for name, env, est in _MATRIX_RUNS:
+        remaining = budget - (time.perf_counter() - t_start)
+        # The headline entry gets the whole remaining budget (it must
+        # produce the one-line contract output); later entries only run if
+        # their warm-cache estimate still fits.
+        if headline_printed and remaining < est:
+            continue
+        rec = _run_one_subprocess(name, env, max(remaining, 60))
+        rec["stamp"] = stamp
+        by_name[name] = rec
+        if not headline_printed:
+            headline = rec if "value" in rec else None
+            if headline is None:
+                # Headline bench failed: fall back to the cheapest known-
+                # good bench so the driver still records a real number.
+                fb = _run_one_subprocess(
+                    "opt13", {"GILL_BENCH": "opt", "GILL_BENCH_UNROLL": "1",
+                              "GILL_BENCH_MODEL": "facebook/opt-1.3b"},
+                    max(budget - (time.perf_counter() - t_start), 60))
+                fb["stamp"] = stamp
+                by_name["opt13"] = fb
+                headline = fb if "value" in fb else {
+                    "metric": "bench_failed", "value": 0, "unit": "",
+                    "vs_baseline": 0}
+            out = dict(headline)
+            out.pop("bench", None)
+            out.pop("stamp", None)
+            print(json.dumps(out), flush=True)
+            headline_printed = True
+        _write_matrix(by_name)
 
 
 def main():
     _enable_compile_cache()
     mode = os.environ.get("GILL_BENCH", "matrix")
     if mode == "matrix":
+        _install_term_handler()
         bench_matrix()
         return
     if mode == "train":

@@ -27,6 +27,8 @@ from gill_tpu.utils import image as image_utils
 
 
 class TsvDataset:
+    _warned_native_fallback = False
+
     def __init__(self, tsv_path: str, image_dir: str, tokenizer,
                  img_token_ids: List[int], max_len: int = 32,
                  image_size: int = 224, num_clip_tokens: int = 77,
@@ -39,6 +41,11 @@ class TsvDataset:
         self.num_clip_tokens = num_clip_tokens
         self.gen_emb_dim = gen_emb_dim
         self.render_caption = render_caption
+        # Native C++ decode opt-out (GILL_NO_NATIVE_IMAGE=1, same knob the
+        # engine itself honors). Numerics match clip_preprocess within PIL's
+        # fixed-point resample error (~2/255 worst-case per pass; bound
+        # asserted in tests/test_native_image.py).
+        self._use_native = os.environ.get("GILL_NO_NATIVE_IMAGE") != "1"
 
         self.images: List[str] = []
         self.captions: List[str] = []
@@ -63,16 +70,30 @@ class TsvDataset:
         # fixed-point resample error); PIL fallback for other formats or
         # when the toolchain is unavailable.
         pixels = None
-        try:
-            from gill_tpu.native import decode_preprocess
-
-            with open(image_path, "rb") as f:
-                raw = f.read()
-            pixels = decode_preprocess(raw, self.image_size,
-                                       image_utils.CLIP_MEAN.reshape(-1),
-                                       image_utils.CLIP_STD.reshape(-1))
-        except Exception:
-            pixels = None
+        if self._use_native:
+            try:
+                from gill_tpu.native import decode_preprocess
+            except (ImportError, OSError) as e:
+                # Engine unavailable (no toolchain / bad binary): fall back
+                # to PIL, loudly ONCE so native-engine breakage is never
+                # silently masked (ADVICE r2).
+                decode_preprocess = None
+                if not TsvDataset._warned_native_fallback:
+                    TsvDataset._warned_native_fallback = True
+                    print(f"gill_tpu: native image engine unavailable "
+                          f"({type(e).__name__}: {e}); using PIL", flush=True)
+            if decode_preprocess is not None:
+                with open(image_path, "rb") as f:
+                    raw = f.read()
+                try:
+                    pixels = decode_preprocess(
+                        raw, self.image_size,
+                        image_utils.CLIP_MEAN.reshape(-1),
+                        image_utils.CLIP_STD.reshape(-1))
+                except (ValueError, RuntimeError):
+                    # Per-file decode failure (corrupt JPEG, exotic format):
+                    # quiet PIL fallback — or the retry loop substitutes.
+                    pixels = None
         if pixels is None:
             img = Image.open(image_path)
             pixels = image_utils.clip_preprocess(img, self.image_size)

@@ -232,6 +232,11 @@ def _attention(p, x, ctx, num_heads: int, q8: bool = False):
         # S=4096.
         from gill_tpu.ops.attention import flash_attention_bthd
 
+        # This path folds ONLY the weight into the padded projection; SD 1.x
+        # to_q/k/v are bias-free, but a biased checkpoint would silently
+        # produce wrong outputs here. (ADVICE r2)
+        assert "b" not in p["q"] and "b" not in p["k"] and "b" not in p["v"], \
+            "padded-head flash path assumes bias-free q/k/v projections"
         hp = 128
         q = (x @ _pad_head_w(p["q"]["w"].astype(x.dtype), num_heads, hp)
              ).reshape(b, t, num_heads, hp)

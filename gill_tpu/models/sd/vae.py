@@ -145,7 +145,12 @@ def _attn(p, x, groups):
     q = nn.linear(p["q"], y)[:, :, None, :]
     k = nn.linear(p["k"], y)[:, :, None, :]
     v = nn.linear(p["v"], y)[:, :, None, :]
-    a = dot_product_attention(q, k, v, causal=False, fast=True)[:, :, 0, :]
+    # fast=False: unlike the UNet (post-LayerNorm q/k), the VAE q/k come
+    # from an unnormalized linear over group-normed activations, so the
+    # fast path's |logit|<clamp bound is not established here. One exact
+    # softmax per image (a single 512-channel head) is noise in the decode
+    # cost. (ADVICE r2)
+    a = dot_product_attention(q, k, v, causal=False, fast=False)[:, :, 0, :]
     return x + nn.linear(p["o"], a).reshape(b, h, w, c)
 
 

@@ -14,10 +14,46 @@ import threading
 from typing import Dict, Optional, Sequence, Tuple
 
 _HERE = os.path.dirname(__file__)
-_LIB_PATH = os.path.join(_HERE, "libgillbpe.so")
 _LOCK = threading.Lock()
 _LIB = None
 _BUILD_FAILED = False
+
+
+def _cached_lib_path(src: str, name: str) -> str:
+    """Build-artifact path keyed by the SOURCE HASH, in a cache dir outside
+    the repo. Binaries are never committed and never trusted by mtime: a
+    changed source hashes to a new artifact name, so a stale or
+    ABI-mismatched .so can never be picked up (ADVICE r2)."""
+    import hashlib
+
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.environ.get(
+        "GILL_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "gill_tpu"))
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, f"lib{name}-{digest}.so")
+
+
+def _build_lib(src: str, name: str, extra_flags=()):
+    """Compile src into the hash-keyed cache (no-op when current) and return
+    the artifact path, or None when the toolchain/build fails."""
+    path = _cached_lib_path(src, name)
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                 src, "-o", tmp, *extra_flags],
+                check=True, capture_output=True, timeout=180)
+            os.replace(tmp, path)
+        except Exception:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            return None
+    return path
 
 
 def _load_lib():
@@ -25,19 +61,12 @@ def _load_lib():
     with _LOCK:
         if _LIB is not None or _BUILD_FAILED:
             return _LIB
-        src = os.path.join(_HERE, "bpe.cpp")
-        if not os.path.exists(_LIB_PATH) or (
-                os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)):
-            try:
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                     src, "-o", _LIB_PATH],
-                    check=True, capture_output=True, timeout=120)
-            except Exception:
-                _BUILD_FAILED = True
-                return None
+        path = _build_lib(os.path.join(_HERE, "bpe.cpp"), "gillbpe")
+        if path is None:
+            _BUILD_FAILED = True
+            return None
         try:
-            lib = ctypes.CDLL(_LIB_PATH)
+            lib = ctypes.CDLL(path)
             lib.bpe_new.restype = ctypes.c_void_p
             lib.bpe_new.argtypes = [ctypes.POINTER(ctypes.c_int32)] * 3 + [
                 ctypes.c_int32]
@@ -105,7 +134,6 @@ def get_bpe_engine(vocab: Dict[str, int],
 # image engine (JPEG/PNG decode + CLIP preprocess; image.cpp)
 # ---------------------------------------------------------------------------
 
-_IMG_LIB_PATH = os.path.join(_HERE, "libgillimage.so")
 _IMG_LIB = None
 _IMG_BUILD_FAILED = False
 
@@ -115,19 +143,13 @@ def _load_image_lib():
     with _LOCK:
         if _IMG_LIB is not None or _IMG_BUILD_FAILED:
             return _IMG_LIB
-        src = os.path.join(_HERE, "image.cpp")
-        if not os.path.exists(_IMG_LIB_PATH) or (
-                os.path.getmtime(_IMG_LIB_PATH) < os.path.getmtime(src)):
-            try:
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                     src, "-o", _IMG_LIB_PATH, "-ljpeg", "-lpng"],
-                    check=True, capture_output=True, timeout=180)
-            except Exception:
-                _IMG_BUILD_FAILED = True
-                return None
+        path = _build_lib(os.path.join(_HERE, "image.cpp"), "gillimage",
+                          ("-ljpeg", "-lpng"))
+        if path is None:
+            _IMG_BUILD_FAILED = True
+            return None
         try:
-            lib = ctypes.CDLL(_IMG_LIB_PATH)
+            lib = ctypes.CDLL(path)
             lib.gill_image_decode_preprocess.restype = ctypes.c_int
             lib.gill_image_decode_preprocess.argtypes = [
                 ctypes.c_char_p, ctypes.c_long, ctypes.c_int,

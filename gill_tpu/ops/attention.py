@@ -22,6 +22,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 
+# Tuning knobs, read ONCE at import: these feed jitted code, where a
+# mid-process env change would otherwise be silently ignored after the
+# first trace per signature (jit caches key on static args, not on the
+# environment — ADVICE r2). Benchmarks A/B them across subprocesses.
+import os as _os  # noqa: E402
+
+FLASH_BQ_CAP = int(_os.environ.get("GILL_FLASH_BQ", "1024"))
+DECODE_CHUNK_MIN = int(_os.environ.get("GILL_DECODE_CHUNK_MIN", "0"))
+
 
 # ---------------------------------------------------------------------------
 # XLA reference path
@@ -361,8 +370,7 @@ def flash_attention_bthd(q, k, v, *, causal: bool = False, scale: float,
 
     if block_q == 0 or block_k == 0:
         kv_bytes = 2 * s * dp * 2
-        import os as _os
-        _bq_cap = int(_os.environ.get("GILL_FLASH_BQ", "1024"))
+        _bq_cap = FLASH_BQ_CAP
         _budget = (14 if _bq_cap <= 512 else 40) * 1024 * 1024
         vmem_budget = max(_budget - kv_bytes, 0)
         bq_full = (vmem_budget // (4 * max(s, 1))) // 128 * 128
@@ -516,9 +524,9 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
         # v5e (491 vs 867 tok/s at opt-2.7b w8+kv8, 512-prompt/512-gen) —
         # the dynamic-trip-count loop defeats XLA's DMA pipelining, which
         # hides the full-cache read better than skipping half of it saves.
-        # Available for very long buckets via GILL_DECODE_CHUNK_MIN.
-        import os as _os
-        _chunk_min = int(_os.environ.get("GILL_DECODE_CHUNK_MIN", "0"))
+        # Available for very long buckets via GILL_DECODE_CHUNK_MIN
+        # (import-time knob, see module header).
+        _chunk_min = DECODE_CHUNK_MIN
         if (_chunk_min > 0 and k.shape[1] >= _chunk_min
                 and k.shape[1] % 256 == 0 and kv_offset is not None):
             return _decode_attention_chunked(

@@ -6,9 +6,12 @@ a single matmul + topk(3) with seen-image -1000 downweighting
 (models.py:671-693).
 
 TPU-first: the ~3GB index lives HBM-resident, sharded over the mesh's
-"data" axis; scoring is a sharded matvec and the top-k reduces with a local
-top-k per shard followed by a global merge (jax.lax.top_k over gathered
-shard candidates) — no 3GB host round-trips.
+"data" axis; scoring is a sharded matmul and the top-k runs as a
+shard_map: local top-k per shard, then an all-gather of the (shards, k)
+candidates and a global merge — collective bytes are O(shards*k) instead
+of the full N-score vector, and no 3GB host round-trips. Queries are
+batched ((B, D) in one program) so multi-[IMG] prompts and eval sweeps
+don't pay per-query dispatch.
 """
 
 from __future__ import annotations
@@ -66,25 +69,68 @@ class RetrievalIndex:
             self.matrix = jnp.asarray(mat)
         self._topk = jax.jit(self._topk_impl, static_argnames=("k",))
 
-    def _topk_impl(self, query, downweight_mask, k: int):
-        """query (D,) normalized; downweight_mask (N_padded,) float added to
-        scores (seen images get -1000, padding -inf)."""
-        scores = self.matrix @ query  # sharded matvec; psum'd by GSPMD
-        scores = scores + downweight_mask
+    def _topk_impl(self, queries, downweight_mask, k: int):
+        """queries (B, D) normalized; downweight_mask (B, N_padded) float
+        added to scores (seen images get -1000, padding -inf)."""
+        n_pad = self.matrix.shape[0]
+        if self.mesh is not None:
+            shards = self.mesh.shape["data"]
+            if n_pad // shards >= k:
+                return self._topk_shard_merge(queries, downweight_mask, k)
+        scores = queries @ self.matrix.T + downweight_mask
         return jax.lax.top_k(scores, k)
 
-    def topk(self, query: np.ndarray, k: int = 3,
-             seen_idx: Sequence[int] = ()) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (scores (k,), indices (k,)). `seen_idx` rows are
-        downweighted by -1000 (reference models.py:679-680)."""
+    def _topk_shard_merge(self, queries, downweight_mask, k: int):
+        """Local top-k per index shard + global merge over gathered
+        (shards*k) candidates — the collective moves O(shards*k) floats
+        instead of the full (B, N) score matrix."""
+        from jax.experimental.shard_map import shard_map
+
+        def local(q, m, msk):
+            # q (B, D) replicated; m (ns, D), msk (B, ns) = this shard
+            s = q @ m.T + msk
+            v, i = jax.lax.top_k(s, k)  # (B, k) shard-local
+            gi = i + jax.lax.axis_index("data") * m.shape[0]
+            v = jax.lax.all_gather(v, "data", axis=1, tiled=True)
+            gi = jax.lax.all_gather(gi, "data", axis=1, tiled=True)
+            vv, pos = jax.lax.top_k(v, k)  # merge (B, shards*k) -> (B, k)
+            return vv, jnp.take_along_axis(gi, pos, axis=1)
+
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(None, None), P("data", None), P(None, "data")),
+            out_specs=(P(None, None), P(None, None)),
+            check_rep=False)(queries, self.matrix, downweight_mask)
+
+    def _mask(self, seen_idx: Sequence[int]) -> np.ndarray:
         n_pad = self.matrix.shape[0]
         mask = np.zeros((n_pad,), np.float32)
         if n_pad > self.n:
             mask[self.n:] = -np.inf
         for i in seen_idx:
             mask[int(i)] -= 1000.0
-        scores, idx = self._topk(jnp.asarray(np.asarray(query, np.float32)),
-                                 jnp.asarray(mask), k)
+        return mask
+
+    def topk(self, query: np.ndarray, k: int = 3,
+             seen_idx: Sequence[int] = ()) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (scores (k,), indices (k,)). `seen_idx` rows are
+        downweighted by -1000 (reference models.py:679-680)."""
+        scores, idx = self.topk_batch(
+            np.asarray(query, np.float32)[None], k, [seen_idx])
+        return scores[0], idx[0]
+
+    def topk_batch(self, queries: np.ndarray, k: int = 3,
+                   seen_idx: Optional[Sequence[Sequence[int]]] = None
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched queries (B, D) -> (scores (B, k), indices (B, k)) in one
+        device program; `seen_idx[b]` lists rows to downweight for query b."""
+        queries = np.asarray(queries, np.float32)
+        assert queries.ndim == 2, queries.shape
+        b = queries.shape[0]
+        if seen_idx is None:
+            seen_idx = [()] * b
+        mask = np.stack([self._mask(s) for s in seen_idx])
+        scores, idx = self._topk(jnp.asarray(queries), jnp.asarray(mask), k)
         return np.asarray(scores), np.asarray(idx)
 
     def scores_for(self, query: np.ndarray, idx: Sequence[int]) -> np.ndarray:

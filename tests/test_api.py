@@ -150,3 +150,16 @@ def test_retrieval_index_sharded_over_mesh():
     s2, t2 = idx2.topk(q, k=5, seen_idx=[3])
     np.testing.assert_array_equal(t1, t2)
     np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+    # batched queries, per-query seen sets: one program, same results as
+    # the serial path on both the sharded and unsharded index
+    qs = rng.randn(3, d).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    seen = [[1], [], [0, 2]]
+    for idx in (idx1, idx2):
+        sb, tb = idx.topk_batch(qs, k=4, seen_idx=seen)
+        assert sb.shape == (3, 4) and tb.shape == (3, 4)
+        for b in range(3):
+            s_one, t_one = idx.topk(qs[b], k=4, seen_idx=seen[b])
+            np.testing.assert_array_equal(tb[b], t_one)
+            np.testing.assert_allclose(sb[b], s_one, rtol=1e-5)

@@ -8,7 +8,16 @@ decision-classifier label, and strips [IMG0..n) strings from display text.
 
 gradio is not installed in this image, so the UI is gated: with gradio
 available the full web demo launches; otherwise a terminal REPL with the
-same conversation logic runs.
+same conversation logic runs. The web branch is exercised in CI through a
+fake-gradio shim (tests/test_demo_gradio.py) that drives the same Blocks
+construction and callbacks.
+
+Share affordance: the reference's share button (demo/share_btn.py:1-112)
+is browser JS that html2canvas-screenshots the chat and uploads it to the
+HF community tab — meaningful only on HF Spaces hosting. The equivalent
+here is `export_conversation_html`: a self-contained HTML transcript
+(images inlined as base64 data URIs) the user can share anywhere, exposed
+as an "Export conversation" button in the web UI and `/save` in the REPL.
 
 Example:
   python demo/app_gradio.py --model-dir checkpoints/gill_opt
@@ -69,8 +78,36 @@ class ChatSession:
         return reply
 
 
-def launch_gradio(model, args):
-    import gradio as gr
+def export_conversation_html(conversation, path: str) -> str:
+    """Writes the interleaved conversation as one self-contained HTML file
+    (images inlined as base64 data URIs) — the shareable-artifact
+    counterpart of the reference's screenshot-and-upload share button."""
+    import base64
+    import html as html_mod
+    import io
+
+    parts = ["<!doctype html><meta charset='utf-8'>"
+             "<title>GILL conversation</title>"
+             "<body style='font-family:sans-serif;max-width:640px'>"
+             "<h2>GILL conversation</h2>"]
+    for item in conversation:
+        if isinstance(item, Image.Image):
+            buf = io.BytesIO()
+            item.convert("RGB").save(buf, format="PNG")
+            b64 = base64.b64encode(buf.getvalue()).decode("ascii")
+            parts.append(f"<p><img src='data:image/png;base64,{b64}' "
+                         f"style='max-width:256px'></p>")
+        else:
+            parts.append(f"<p>{html_mod.escape(str(item))}</p>")
+    parts.append("</body>")
+    with open(path, "w") as f:
+        f.write("\n".join(parts))
+    return path
+
+
+def build_blocks(gr, model, args):
+    """Constructs the gradio Blocks app (separated from .launch() so tests
+    can drive the callbacks without a server)."""
 
     def respond(message, image, history, ret_scale, temperature, state):
         session = state or ChatSession(model)
@@ -85,6 +122,15 @@ def launch_gradio(model, args):
         history = (history or []) + [(message, shown)]
         return history, session
 
+    def export(state):
+        session = state
+        if session is None or not session.conversation:
+            return None
+        n = len(os.listdir(args.save_dir))
+        return export_conversation_html(
+            session.conversation,
+            os.path.join(args.save_dir, f"conversation_{n}.html"))
+
     with gr.Blocks() as demo:
         chat = gr.Chatbot()
         msg = gr.Textbox(label="Message")
@@ -92,14 +138,25 @@ def launch_gradio(model, args):
         ret_scale = gr.Slider(0.5, 3.0, value=1.3, label="ret_scale_factor")
         temp = gr.Slider(0.0, 1.0, value=0.0, label="temperature")
         state = gr.State(None)
+        share_btn = gr.Button("Export conversation (shareable HTML)")
+        share_file = gr.File(label="Exported conversation")
         msg.submit(respond, [msg, img, chat, ret_scale, temp, state],
                    [chat, state])
+        share_btn.click(export, [state], [share_file])
+    return demo
+
+
+def launch_gradio(model, args):
+    import gradio as gr
+
+    demo = build_blocks(gr, model, args)
     demo.queue(max_size=1).launch(server_name=args.host, server_port=args.port)
 
 
 def launch_repl(model, args):
     session = ChatSession(model)
-    print("GILL-TPU chat. Commands: /img <path> to add an image, /quit.")
+    print("GILL-TPU chat. Commands: /img <path> to add an image, "
+          "/save to export the conversation as HTML, /quit.")
     while True:
         try:
             line = input("you> ").strip()
@@ -112,6 +169,13 @@ def launch_repl(model, args):
         if line.startswith("/img "):
             session.add_image(Image.open(line[5:].strip()))
             print("(image added to context)")
+            continue
+        if line == "/save":
+            n = len(os.listdir(args.save_dir))
+            out = export_conversation_html(
+                session.conversation,
+                os.path.join(args.save_dir, f"conversation_{n}.html"))
+            print(f"(conversation exported to {out})")
             continue
         for r in session.user_turn(line):
             if isinstance(r, str):

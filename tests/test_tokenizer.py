@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 
 from gill_tpu.tokenizer import GPT2BPETokenizer, setup_gill_tokenizer
@@ -58,8 +60,49 @@ def test_bpe_merges():
     assert tok.decode([6, 5]) == "abb"
 
 
+# Edge-case battery for HF-exactness: contractions, runs of spaces,
+# leading/trailing whitespace, newlines/tabs, unicode/multi-byte, emoji,
+# digits, punctuation clusters, merge-chain words from the fixture corpus.
+HF_PARITY_STRINGS = [
+    "Hello world", "A picture of a dog.", "unbelievable  spacing\n",
+    "don't can't we're I'll it's you've I'm he'd",
+    "   leading and trailing   ", "tabs\there\tand\nnewlines\n\n",
+    "numbers 1234 42 3.14159", "punct?! (yes; really...) \"quoted\"",
+    "café naïve 北京 Москва 🙂", "CamelCaseWords snake_case kebab-case",
+    "the picture of the image generation retrieval",
+    "Q: show me a photo of a cat\nA:", "",
+    "a", " ", "  ", "\n", "ÿ\x00mixed\x7fbytes",
+]
+
+
+def test_matches_hf_gpt2_on_fixture():
+    """HF-exactness against transformers' real GPT2Tokenizer implementation
+    loading the committed byte-level BPE fixture (runs everywhere — no
+    network; fixture built by scripts/make_tokenizer_fixture.py with the
+    standard BPE training algorithm). The reference gets AutoTokenizer for
+    free (main.py:255); this pins our from-scratch encoder to the same
+    algorithm HF executes."""
+    import pytest
+
+    transformers = pytest.importorskip("transformers")
+    d = os.path.join(os.path.dirname(__file__), "fixtures", "tok")
+    hf = transformers.GPT2Tokenizer(
+        vocab_file=os.path.join(d, "vocab.json"),
+        merges_file=os.path.join(d, "merges.txt"))
+    ours = GPT2BPETokenizer.from_files(
+        os.path.join(d, "vocab.json"), os.path.join(d, "merges.txt"),
+        bos_token="<|endoftext|>", eos_token="<|endoftext|>",
+        unk_token="<|endoftext|>", pad_token=None)
+    for s in HF_PARITY_STRINGS:
+        assert ours.encode(s, add_special_tokens=False) == hf.encode(s), s
+        if "\x00" not in s and "\x7f" not in s:
+            assert ours.decode(
+                ours.encode(s, add_special_tokens=False)) == s, s
+
+
 def test_matches_hf_gpt2_when_available():
-    """Golden parity with HF GPT2 tokenizer if its assets exist locally."""
+    """Same parity against the REAL gpt2/OPT assets when present locally
+    (auto-activates outside the zero-egress CI image)."""
     try:
         from transformers import GPT2Tokenizer
 
@@ -69,5 +112,5 @@ def test_matches_hf_gpt2_when_available():
 
         pytest.skip("no local HF gpt2 tokenizer assets")
     ours = GPT2BPETokenizer(hf.encoder, [" ".join(m) for m in hf.bpe_ranks])
-    for s in ["Hello world", "A picture of a dog.", "unbelievable  spacing\n"]:
+    for s in HF_PARITY_STRINGS:
         assert ours.encode(s, add_special_tokens=False) == hf.encode(s)

@@ -236,6 +236,12 @@ class TrainConfig:
     seed: Optional[int] = None
     workers: int = 4
 
+    # Rematerialize each frozen-LM layer in the train forwards (backward
+    # recomputes instead of storing intermediates). Required for OPT-6.7B on
+    # 16GB chips (ROADMAP memory plan); off by default — small models train
+    # faster without it.
+    remat: bool = False
+
     # Mesh layout: (data, model). model>1 enables tensor parallelism over the
     # frozen LM; the reference only supported pure DP (main.py:321-326).
     dp_size: int = -1                    # -1 = all devices on the data axis

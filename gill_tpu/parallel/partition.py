@@ -71,3 +71,22 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def host_local_rows(x):
+    """This process's rows of a (possibly) multi-process batch-sharded
+    jax.Array, in row order, deduped across replicating axes. np.asarray on
+    an array spanning non-addressable devices raises in multi-controller
+    runs; single-process / fully-addressable inputs pass through whole."""
+    import numpy as np
+
+    if not (isinstance(x, jax.Array) and not x.is_fully_addressable):
+        return np.asarray(x)
+    rows, seen = [], set()
+    for s in sorted(x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0):
+        start = s.index[0].start or 0
+        if start not in seen:
+            seen.add(start)
+            rows.append(np.asarray(s.data))
+    return np.concatenate(rows, axis=0)

@@ -86,7 +86,7 @@ def compute_losses(core: GILLCore, params, batch, tc: TrainConfig,
     # captioning
     cap = core.forward(params, pixels, batch["ret_tokens"], batch["ret_len"],
                        mode="captioning", concat_captions=concat_captions,
-                       prefix_ids=prefix_ids)
+                       prefix_ids=prefix_ids, remat=tc.remat)
     top1, top5 = L.token_accuracy(cap["logits"][:, :-1], cap["full_labels"][:, 1:])
     ce_cap = cap["ce_loss"] * tc.cap_loss_scale
     total += ce_cap
@@ -106,7 +106,7 @@ def compute_losses(core: GILLCore, params, batch, tc: TrainConfig,
     # retrieval
     ret = core.forward(params, pixels, batch["ret_tokens"], batch["ret_len"],
                        mode="retrieval", concat_captions=concat_captions,
-                       prefix_ids=prefix_ids)
+                       prefix_ids=prefix_ids, remat=tc.remat)
     ce_ret = ret["ce_loss"] * tc.ret_loss_scale * 0.5
     total += ce_ret
     # Global contrastive matrix; GSPMD all_gathers sharded embeddings.
@@ -129,7 +129,7 @@ def compute_losses(core: GILLCore, params, batch, tc: TrainConfig,
     # generation
     gen = core.forward(params, pixels, batch["gen_tokens"], batch["gen_len"],
                        mode="generation", concat_captions=concat_captions,
-                       prefix_ids=prefix_ids)
+                       prefix_ids=prefix_ids, remat=tc.remat)
     ce_gen = gen["ce_loss"] * tc.gen_loss_scale * 0.5
     total += ce_gen
     mapped = gen["last_embedding"]

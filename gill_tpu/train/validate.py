@@ -88,8 +88,11 @@ def validate(core, tc, adapters, frozen, val_loader, tokenizer,
     if world > 1:
         from jax.experimental import multihost_utils
 
+        from gill_tpu.parallel.partition import host_local_rows
+
         def gather(x):
-            g = np.asarray(multihost_utils.process_allgather(np.asarray(x)))
+            g = np.asarray(
+                multihost_utils.process_allgather(host_local_rows(x)))
             return g.reshape((-1,) + g.shape[2:])
     else:
         gather = np.asarray
@@ -106,8 +109,8 @@ def validate(core, tc, adapters, frozen, val_loader, tokenizer,
                 m.update(float(metrics[k]), len(jb["ret_tokens"]))
 
         r = ret_fn(params, jb["pixels"], jb["ret_tokens"], jb["ret_len"])
-        all_vis.append(gather(np.asarray(r["visual_embs"], np.float32)))
-        all_txt.append(gather(np.asarray(r["last_embedding"], np.float32)))
+        all_vis.append(gather(r["visual_embs"]).astype(np.float32))
+        all_txt.append(gather(r["last_embedding"]).astype(np.float32))
 
         if decode_captions:
             toks = generate_caption_tokens(core, params, jb["pixels"],

@@ -86,6 +86,9 @@ def parse_args(argv):
                    help="data-parallel mesh size (-1 = all devices / tp)")
     p.add_argument("--tp-size", default=1, type=int,
                    help="tensor-parallel mesh size over the frozen LM")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize frozen-LM layers in the train step "
+                        "(needed for opt-6.7b on 16GB chips)")
     p.add_argument("--weights-dir", default=None,
                    help="root dir with local HF checkpoints for frozen "
                         "backbones (else $GILL_TPU_WEIGHTS_DIR, else random)")
@@ -200,7 +203,7 @@ def main(argv):
         input_prompt=args.input_prompt, max_len=args.max_len,
         beta1=args.beta1, beta2=args.beta2, weight_decay=args.weight_decay,
         print_freq=args.print_freq, seed=args.seed,
-        dp_size=args.dp_size, tp_size=args.tp_size)
+        dp_size=args.dp_size, tp_size=args.tp_size, remat=args.remat)
 
     # ---- frozen backbones + adapters ----
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
@@ -370,7 +373,12 @@ def main(argv):
                         gt_caps = [tokenizer.decode(row)
                                    for row in np.asarray(batch["ret_tokens"])]
                         if viz is not None:
-                            pred = np.asarray(viz["pred_tokens"])[:nshow]
+                            from gill_tpu.parallel.partition import \
+                                host_local_rows
+
+                            # multi-controller: the step's viz outputs are
+                            # batch-sharded; rank 0 renders its local rows
+                            pred = host_local_rows(viz["pred_tokens"])[:nshow]
                             pred_caps = [tokenizer.decode(row) for row in pred]
                             if len(pred_caps) < len(px):
                                 # concat-packed step: each packed row covers
@@ -384,13 +392,13 @@ def main(argv):
                                              actual_step)
                             # Retrieval mosaics: the image each caption
                             # retrieved, and the caption each image retrieved.
-                            t2i = np.asarray(viz["t2i_idx"]) % len(px)
+                            t2i = host_local_rows(viz["t2i_idx"]) % len(px)
                             grid = caption_grid(px[t2i[:nshow]],
                                                 gt_caps[:nshow], None)
                             writer.add_image("train/t2i_ret",
                                              grid.transpose(2, 0, 1),
                                              actual_step)
-                            i2t = np.asarray(viz["i2t_idx"]) % len(gt_caps)
+                            i2t = host_local_rows(viz["i2t_idx"]) % len(gt_caps)
                             grid = caption_grid(
                                 px[:nshow],
                                 [gt_caps[j] for j in i2t[:nshow]], None)

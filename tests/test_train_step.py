@@ -122,3 +122,29 @@ def test_lr_schedule():
     # decay after 5 epochs x 4 steps = 20 post-warmup steps
     np.testing.assert_allclose(float(s(10 + 19)), 1e-3, rtol=1e-6)
     np.testing.assert_allclose(float(s(10 + 20)), 1e-4, rtol=1e-6)
+
+
+def test_train_step_remat_matches_no_remat():
+    """--remat (per-layer jax.checkpoint in the frozen LM, the 6.7b-on-16GB
+    memory plan in ROADMAP.md) must not change the math: same loss and same
+    adapter update as the plain step."""
+    import dataclasses
+
+    core = make_core()
+    tc0 = TrainConfig(lr=1e-3, lr_warmup_steps=2, steps_per_epoch=10)
+    tc1 = dataclasses.replace(tc0, remat=True)
+    params = core.init_params(jax.random.PRNGKey(0))
+    frozen = {"lm": params["lm"], "vision": params["vision"]}
+    batch = make_batch()
+    fresh = lambda: jax.tree_util.tree_map(jnp.array, params["adapters"])
+
+    s0, m0 = make_train_step(core, tc0)(
+        init_state(core, tc0, fresh()), frozen, batch, concat=False)
+    s1, m1 = make_train_step(core, tc1)(
+        init_state(core, tc1, fresh()), frozen, batch, concat=False)
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.adapters),
+                    jax.tree_util.tree_leaves(s1.adapters)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -25,6 +25,18 @@ import jax.numpy as jnp
 from gill_tpu.nn import core as nn
 from gill_tpu.ops.attention import dot_product_attention
 
+# LN-folded projection/GEGLU kernels (ops/ln_matmul.py), import-time knob.
+# Measured on v5e (round 3, scripts/profile_ln_fuse.py): OFF wins — the
+# separate XLA LayerNorm pass is bandwidth-cheap (~0.1 ms/block at 64x64)
+# while folding it into the small-K projection matmuls serializes VPU
+# stats against the MXU and loses XLA's matmul efficiency (fused 5.30 ms
+# vs plain 4.55 ms per 64x64 block; full step 56.9 vs 51.1 ms). Kept for
+# shapes where it may win (longer rows, bigger d) and for re-evaluation on
+# other TPU generations.
+import os as _os  # noqa: E402
+
+FUSE_LN = _os.environ.get("GILL_SD_FUSE_LN", "0") == "1"
+
 
 @dataclasses.dataclass
 class UNetConfig:
@@ -219,10 +231,58 @@ def _pad_head_w(w, num_heads: int, hd_pad: int):
     return w.reshape(i, num_heads * hd_pad)
 
 
-def _attention(p, x, ctx, num_heads: int, q8: bool = False):
+def _attention(p, x, ctx, num_heads: int, q8: bool = False, ln=None):
+    """ln: optional LayerNorm params to FOLD into the q/k/v projections
+    (Pallas ln_matmul) — x is then the raw residual stream and the
+    normalized tensor never round-trips HBM. ctx=None means self-attention
+    (k/v also read the normalized x)."""
     b, t, d = x.shape
     hd = d // num_heads
+    self_attn = ctx is None
+    if self_attn:
+        ctx = x
     s = ctx.shape[1]
+    if ln is not None and FUSE_LN and jax.default_backend() == "tpu" \
+            and hd < 128 and not q8:
+        from gill_tpu.ops.attention import flash_attention_bthd
+        from gill_tpu.ops.ln_matmul import ln_matmul
+
+        assert "b" not in p["q"] and "b" not in p["k"] and "b" not in p["v"], \
+            "fused-LN path assumes bias-free q/k/v projections"
+        hp = 128
+        gamma, beta = ln["scale"], ln["bias"]
+        if self_attn:
+            from gill_tpu.ops.ln_matmul import ln_matmul_stacked
+
+            # stacked (3, d, H*128) weights -> (3, B*T, H*128): q/k/v are
+            # free leading-axis slices (a lane-wise concat+split would copy
+            # the 3.2x head-padded tensors, ~190MB/block at 64x64)
+            wqkv = jnp.stack(
+                [_pad_head_w(p[k]["w"].astype(x.dtype), num_heads, hp)
+                 for k in ("q", "k", "v")])
+            qkv = ln_matmul_stacked(x, gamma, beta, wqkv)
+            q = qkv[0].reshape(b, t, num_heads, hp)
+            kk = qkv[1].reshape(b, s, num_heads, hp)
+            v = qkv[2].reshape(b, s, num_heads, hp)
+        else:
+            q = ln_matmul(
+                x, gamma, beta,
+                _pad_head_w(p["q"]["w"].astype(x.dtype), num_heads, hp)
+            ).reshape(b, t, num_heads, hp)
+            kk = (ctx @ _pad_head_w(p["k"]["w"].astype(x.dtype), num_heads,
+                                    hp)).reshape(b, s, num_heads, hp)
+            v = (ctx @ _pad_head_w(p["v"]["w"].astype(x.dtype), num_heads,
+                                   hp)).reshape(b, s, num_heads, hp)
+        o = flash_attention_bthd(q, kk, v, causal=False, fast=True,
+                                 scale=1.0 / math.sqrt(hd))
+        wo = p["o"]["w"].astype(x.dtype).reshape(num_heads, hd, d)
+        wo = jnp.pad(wo, ((0, 0), (0, hp - hd), (0, 0))).reshape(
+            num_heads * hp, d)
+        return o.reshape(b, t, num_heads * hp) @ wo + p["o"]["b"].astype(x.dtype)
+    if ln is not None:
+        x = nn.layer_norm(ln, x, 1e-5)
+        if self_attn:
+            ctx = x
     if jax.default_backend() == "tpu" and hd < 128:
         # Pad the head dim to the 128-lane width inside the PROJECTION
         # weights (hoisted out of the denoise scan) and run flash attention
@@ -292,29 +352,37 @@ def quantize_params(params):
     return rec(params, ())
 
 
-def _geglu_ff(p, h):
+def _geglu_ff(p, h, ln=None):
     """GEGLU feed-forward (diffusers GEGLU: exact-erf gelu on the gate
-    half). Fused Pallas kernel on TPU; composed XLA ops elsewhere and for
-    the int8-quantized mode (where the matmuls run on the int8 MXU)."""
+    half). Fused Pallas kernel on TPU (optionally with the preceding
+    LayerNorm folded in via `ln`); composed XLA ops elsewhere and for the
+    int8-quantized mode (where the matmuls run on the int8 MXU)."""
     if jax.default_backend() == "tpu" and "wq" not in p["geglu"]:
         from gill_tpu.ops.geglu import geglu_ff
 
+        kw = {}
+        if ln is not None and FUSE_LN:
+            kw = dict(ln_gamma=ln["scale"], ln_beta=ln["bias"], ln_eps=1e-5)
+        elif ln is not None:
+            h = nn.layer_norm(ln, h, 1e-5)
         return geglu_ff(h, p["geglu"]["w"].astype(h.dtype),
                         p["geglu"]["b"].astype(h.dtype),
                         p["ff_out"]["w"].astype(h.dtype),
-                        p["ff_out"]["b"].astype(h.dtype))
+                        p["ff_out"]["b"].astype(h.dtype), **kw)
+    if ln is not None:
+        h = nn.layer_norm(ln, h, 1e-5)
     h = nn.linear(p["geglu"], h)
     val, gate = jnp.split(h, 2, axis=-1)
     return nn.linear(p["ff_out"], val * jax.nn.gelu(gate, approximate=False))
 
 
-def _tfm_block(p, x, ctx, num_heads: int, eps: float = 1e-5,
-               q8: bool = False):
-    xn = nn.layer_norm(p["ln1"], x, eps)
-    x = x + _attention(p["attn1"], xn, xn, num_heads, q8=q8)
-    x = x + _attention(p["attn2"], nn.layer_norm(p["ln2"], x, eps), ctx,
-                       num_heads, q8=q8)
-    return x + _geglu_ff(p, nn.layer_norm(p["ln3"], x, eps))
+def _tfm_block(p, x, ctx, num_heads: int, q8: bool = False):
+    # Pre-norms are folded into the q/k/v projection and GEGLU kernels on
+    # the TPU inference path (see _attention/_geglu_ff); elsewhere they run
+    # as explicit layer_norms inside those helpers (ln= falls through).
+    x = x + _attention(p["attn1"], x, None, num_heads, q8=q8, ln=p["ln1"])
+    x = x + _attention(p["attn2"], x, ctx, num_heads, q8=q8, ln=p["ln2"])
+    return x + _geglu_ff(p, x, ln=p["ln3"])
 
 
 def _spatial_tfm(p, x, ctx, num_heads: int, groups: int, q8: bool = False):

@@ -24,6 +24,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _ln_rows(x, g, b, eps):
+    """LN over the last axis (matches nn.core.layer_norm formulation:
+    fp32 single-pass stats, var clamped at 0, scale/shift in x.dtype)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    mean2 = jnp.mean(xf * xf, axis=1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    gf = g.astype(jnp.float32)
+    a = (inv * gf).astype(x.dtype)
+    sh = (b.astype(jnp.float32) - mean * inv * gf).astype(x.dtype)
+    return x * a + sh
+
+
 def _kernel(x_ref, wv_ref, wg_ref, bv_ref, bg_ref, w2_ref, b2_ref, o_ref,
             acc_ref):
     n = pl.program_id(1)
@@ -58,10 +72,46 @@ def _kernel(x_ref, wv_ref, wg_ref, bv_ref, bg_ref, w2_ref, b2_ref, o_ref,
                     ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
-def geglu_ff(x, w1, b1, w2, b2, *, block_m: int = 0, block_n: int = 0):
+def _kernel_ln(x_ref, g_ref, be_ref, wv_ref, wg_ref, bv_ref, bg_ref, w2_ref,
+               b2_ref, o_ref, acc_ref, *, eps):
+    """GEGLU FF with the preceding LayerNorm folded in: the normalized
+    (B, S, d) tensor never exists in HBM. Stats recomputed per N-chunk on
+    the VPU (the x tile is resident anyway)."""
+    n = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    @pl.when(n == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = _ln_rows(x_ref[:], g_ref[:], be_ref[:], eps)
+    val = jax.lax.dot_general(
+        x, wv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bv_ref[:].astype(jnp.float32)
+    gate = jax.lax.dot_general(
+        x, wg_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bg_ref[:].astype(jnp.float32)
+    g2 = gate * gate
+    inner = 0.7978845608028654 * gate * (1.0 + 0.044715 * g2)
+    gelu_gate = 0.5 * gate * (1.0 + jnp.tanh(inner))
+    h = (val * gelu_gate).astype(x.dtype)
+    acc_ref[:] += jax.lax.dot_general(
+        h, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(n == n_chunks - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] + b2_ref[:].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_m", "block_n", "ln_eps"))
+def geglu_ff(x, w1, b1, w2, b2, *, ln_gamma=None, ln_beta=None,
+             ln_eps: float = 1e-5, block_m: int = 0, block_n: int = 0):
     """x (..., d), w1 (d, 8d) fused [val | gate], b1 (8d,), w2 (4d, d),
-    b2 (d,) -> (..., d)."""
+    b2 (d,) -> (..., d). With ln_gamma/ln_beta, the preceding LayerNorm is
+    folded into the kernel (x is the RAW residual stream)."""
     orig_shape = x.shape
     d = x.shape[-1]
     inner = 4 * d
@@ -89,23 +139,37 @@ def geglu_ff(x, w1, b1, w2, b2, *, block_m: int = 0, block_n: int = 0):
     b2r = b2.reshape(1, d)
 
     grid = (m_pad // block_m, inner // block_n)
-    out = pl.pallas_call(
-        _kernel,
+    weight_specs = [
+        pl.BlockSpec((d, block_n), lambda i, n: (0, n)),
+        pl.BlockSpec((d, block_n), lambda i, n: (0, n)),
+        pl.BlockSpec((1, block_n), lambda i, n: (0, n)),
+        pl.BlockSpec((1, block_n), lambda i, n: (0, n)),
+        pl.BlockSpec((block_n, d), lambda i, n: (n, 0)),
+        pl.BlockSpec((1, d), lambda i, n: (0, 0)),
+    ]
+    common = dict(
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_m, d), lambda i, n: (i, 0)),
-            pl.BlockSpec((d, block_n), lambda i, n: (0, n)),
-            pl.BlockSpec((d, block_n), lambda i, n: (0, n)),
-            pl.BlockSpec((1, block_n), lambda i, n: (0, n)),
-            pl.BlockSpec((1, block_n), lambda i, n: (0, n)),
-            pl.BlockSpec((block_n, d), lambda i, n: (n, 0)),
-            pl.BlockSpec((1, d), lambda i, n: (0, 0)),
-        ],
         out_specs=pl.BlockSpec((block_m, d), lambda i, n: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m_pad, d), x.dtype),
         scratch_shapes=[pltpu.VMEM((block_m, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(x2, wv, wg, bv, bg, w2, b2r)
+    )
+    x_spec = pl.BlockSpec((block_m, d), lambda i, n: (i, 0))
+    if ln_gamma is not None:
+        out = pl.pallas_call(
+            functools.partial(_kernel_ln, eps=ln_eps),
+            in_specs=[x_spec,
+                      pl.BlockSpec((1, d), lambda i, n: (0, 0)),
+                      pl.BlockSpec((1, d), lambda i, n: (0, 0))] + weight_specs,
+            **common,
+        )(x2, ln_gamma.reshape(1, d), ln_beta.reshape(1, d),
+          wv, wg, bv, bg, w2, b2r)
+    else:
+        out = pl.pallas_call(
+            _kernel,
+            in_specs=[x_spec] + weight_specs,
+            **common,
+        )(x2, wv, wg, bv, bg, w2, b2r)
     return out[:m].reshape(orig_shape)

@@ -237,3 +237,43 @@ def test_dpmpp_in_pipeline_tiny():
                height=cfg.default_size, width=cfg.default_size)
     assert img.shape == (1, cfg.default_size, cfg.default_size, 3)
     assert bool(jnp.isfinite(img).all())
+
+
+def test_dpmpp_25step_tracks_pndm_50step_trajectory():
+    """Sampler-dividend gate (VERDICT r2 #2): the quality-equivalence claim
+    behind the sd_dpm bench entry, measured. On a seeded tiny UNet with
+    fixed latents/context, DPM-Solver++ 2M at 25 steps must land within a
+    tight relative-L2 band of the 50-step PNDM reference trajectory
+    (reference loop: gill/custom_sd.py:628-651), far from the divergence a
+    degraded sampler shows (PNDM-12 ~0.31 relL2, measured). Caveat
+    (ROADMAP.md): with random weights this pins trajectory consistency of
+    the samplers on the real architecture — a human-quality CLIP-sim gate
+    needs real SD weights, absent in this environment."""
+    from gill_tpu.models.sd import unet as unet_mod
+    from gill_tpu.models.sd.pipeline import (StableDiffusionPipeline,
+                                             tiny_sd_config)
+
+    cfg = tiny_sd_config()
+    params = {"unet": unet_mod.init(jax.random.PRNGKey(0), cfg.unet),
+              "vae_decoder": None}
+    lat = jax.random.normal(jax.random.PRNGKey(7), (2, 8, 8, 4), jnp.float32)
+    ctx = jax.random.normal(
+        jax.random.PRNGKey(8),
+        (4, cfg.text.max_positions, cfg.unet.cross_attention_dim))
+
+    def run(sampler, steps):
+        pipe = StableDiffusionPipeline(cfg, params, sampler=sampler)
+        return np.asarray(pipe.denoise(lat, ctx, steps, 7.5))
+
+    ref = run("pndm", 50)
+
+    def rel(a):
+        return np.linalg.norm((a - ref).reshape(2, -1), axis=1) / \
+            np.linalg.norm(ref.reshape(2, -1), axis=1)
+
+    rel_dpm25 = rel(run("dpm++", 25))
+    rel_pndm12 = rel(run("pndm", 12))
+    assert (rel_dpm25 < 0.15).all(), rel_dpm25
+    # degraded-sampler control: a too-coarse PNDM visibly diverges, and
+    # DPM++ 25 must beat it by a wide margin
+    assert (rel_pndm12 > 2 * rel_dpm25).all(), (rel_pndm12, rel_dpm25)

@@ -56,9 +56,16 @@ def _dispatch_overhead() -> float:
         f = jax.jit(lambda x: (x * 2).sum())
         x = jnp.ones((8, 128), jnp.float32)
         float(f(x))
-        t0 = time.perf_counter()
-        float(f(x))
-        _DISPATCH_OVERHEAD = time.perf_counter() - t0
+        # MIN of 5: this constant is SUBTRACTED from every timing, so a
+        # relay hiccup in a single sample would silently inflate every
+        # reported throughput in this process (suspected cause of the
+        # round-2 opt-6.7b 508 tok/s outlier vs the reproducible ~264).
+        samples = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(f(x))
+            samples.append(time.perf_counter() - t0)
+        _DISPATCH_OVERHEAD = min(samples)
     return _DISPATCH_OVERHEAD
 
 

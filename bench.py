@@ -328,10 +328,26 @@ _MATRIX_RUNS = [
                   "GILL_BENCH_UNROLL": "1",
                   "GILL_BENCH_MODEL": "facebook/opt-6.7b",
                   "GILL_BENCH_BATCH": "8"}, 240),
-    ("opt67_w8_kv8", {"GILL_BENCH": "opt", "GILL_BENCH_W8": "1",
-                      "GILL_BENCH_KV8": "1", "GILL_BENCH_UNROLL": "1",
+    # Throughput-serving config: the W8 decode step is weight-bandwidth
+    # bound, so batch scales nearly free (b8=725, b16=1284, b32=2290
+    # tok/s); int8 weights (6.7GB) leave ~8GB for KV + activations.
+    ("opt67_w8_b32", {"GILL_BENCH": "opt", "GILL_BENCH_W8": "1",
+                      "GILL_BENCH_UNROLL": "1",
                       "GILL_BENCH_MODEL": "facebook/opt-6.7b",
-                      "GILL_BENCH_BATCH": "8"}, 240),
+                      "GILL_BENCH_BATCH": "32"}, 240),
+    # Chat-length context: the reference's full-reforward decode is
+    # QUADRATIC in context, so this is where the KV-cached scan shows its
+    # largest algorithmic win (vs_baseline ~21x). Measured round 3: int8 KV
+    # is NOT a throughput win on this chip (6.7b: 682 vs 725 short, 327 vs
+    # 415 at 512+256 — the attention-side dequant outcosts the saved cache
+    # bandwidth; 2.7b: ~wash) — it remains the 2x context/batch CAPACITY
+    # lever, so the matrix tracks the faster bf16-KV config here.
+    ("opt67_w8_long", {"GILL_BENCH": "opt", "GILL_BENCH_W8": "1",
+                       "GILL_BENCH_UNROLL": "1",
+                       "GILL_BENCH_MODEL": "facebook/opt-6.7b",
+                       "GILL_BENCH_BATCH": "8",
+                       "GILL_BENCH_PROMPT": "512",
+                       "GILL_BENCH_GEN": "256"}, 400),
     ("train", {"GILL_BENCH": "train"}, 240),
 ]
 
@@ -547,6 +563,10 @@ def main():
     suffix = "_w8" if os.environ.get("GILL_BENCH_W8", "0") == "1" else ""
     if os.environ.get("GILL_BENCH_KV8", "0") == "1":
         suffix += "_kv8"
+    if prompt_len != 32 or gen_len != 96:
+        suffix += f"_ctx{prompt_len}+{gen_len}"
+    if batch != 16:
+        suffix += f"_b{batch}"
     print(json.dumps({
         "metric": f"{model.split('/')[-1]}_decode_tokens_per_sec_per_chip{suffix}",
         "value": round(value, 2),

@@ -267,6 +267,24 @@ def _layer(cfg: OPTConfig, lp, h, kv_offset=None, cache_kv=None, cache_pos=None)
     return h, new_kv
 
 
+def _layer_view(layers, i: int):
+    """Layer-i parameter view for the unrolled path. Quantized (w8) leaves
+    keep the stacked int8 array plus `layer_idx` (dispatched to
+    w8_matmul_stacked in nn.linear — no materialized per-layer slice);
+    everything else is sliced as before."""
+    if isinstance(layers, dict):
+        if "w8" in layers:
+            out = {"w8": layers["w8"], "ws": layers["ws"][i],
+                   "layer_idx": i}
+            if "b" in layers:
+                out["b"] = layers["b"][i]
+            return out
+        return {k: _layer_view(v, i) for k, v in layers.items()}
+    if isinstance(layers, tuple) and not layers:  # "kern" static marker
+        return ()
+    return layers[i]
+
+
 def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
             collect_hidden: bool = False, cache=None, cache_pos=None,
             remat: bool = False, lm_head=None, unroll_layers: bool = False,
@@ -327,11 +345,18 @@ def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
             return out
 
         if unroll_layers:
+            # Per-layer weight views: W8 leaves keep the STACKED (L, K, N)
+            # int8 array + a static layer index instead of slicing — a
+            # slice feeding a pallas custom-call forces XLA to materialize
+            # a full per-layer weight copy every step (traced at 20.2
+            # ms/token for opt-6.7b, 2.4x the weight traffic —
+            # scripts/profile_opt67.py); w8_matmul_stacked indexes the
+            # stack inside its BlockSpec so the int8 weights stream
+            # straight from HBM.
             hs_list = []
             news = [[] for _ in ckeys]
             for i in range(cfg.num_layers):
-                lp = jax.tree_util.tree_map(lambda x, i=i: x[i],
-                                            params["layers"])
+                lp = _layer_view(params["layers"], i)
                 h, nkv = _layer(cfg, lp, h,
                                 cache_kv=tuple(cache[k][i] for k in ckeys),
                                 cache_pos=cache_pos)

@@ -55,13 +55,28 @@ def linear(p, x):
         m = 1
         for d in x.shape[:-1]:
             m *= d
-        kdim, n = p["w8"].shape
-        if ("kern" in p and m <= 256 and jax.default_backend() == "tpu"
-                and kdim % 512 == 0 and n % 512 == 0):
-            from gill_tpu.ops.w8_matmul import w8_matmul
+        if p["w8"].ndim == 3 and "layer_idx" in p:
+            # STACKED per-layer weights (L, K, N) + layer index: the kernel
+            # indexes the stack in its BlockSpec, so no per-layer slice is
+            # materialized (a slice feeding a pallas custom-call forces a
+            # full weight copy — 20 ms/token at opt-6.7b, profile_opt67.py).
+            kdim, n = p["w8"].shape[1:]
+            if (m <= 256 and jax.default_backend() == "tpu"
+                    and kdim % 512 == 0 and n % 512 == 0):
+                from gill_tpu.ops.w8_matmul import w8_matmul_stacked
 
-            return w8_matmul(x, p["w8"], p["ws"], p.get("b"))
-        w = p["w8"].astype(x.dtype) * p["ws"].astype(x.dtype)[None, :]
+                return w8_matmul_stacked(x, p["w8"], p["ws"], p.get("b"),
+                                         p["layer_idx"])
+            w8 = p["w8"][p["layer_idx"]]
+        else:
+            w8 = p["w8"]
+            kdim, n = w8.shape
+            if ("kern" in p and m <= 256 and jax.default_backend() == "tpu"
+                    and kdim % 512 == 0 and n % 512 == 0):
+                from gill_tpu.ops.w8_matmul import w8_matmul
+
+                return w8_matmul(x, w8, p["ws"], p.get("b"))
+        w = w8.astype(x.dtype) * p["ws"].astype(x.dtype)[None, :]
         y = x @ w
         if "b" in p:
             y = y + p["b"].astype(x.dtype)

@@ -48,8 +48,8 @@ GOOD = {
             "vs_baseline": 4.0},
     "opt67_w8": {"metric": "opt67_w8", "value": 500.0, "unit": "tok/s",
                  "vs_baseline": 5.0},
-    "opt67_w8_kv8": {"metric": "opt67_kv8", "value": 600.0, "unit": "tok/s",
-                     "vs_baseline": 6.0},
+    "opt67_w8_long": {"metric": "opt67_long", "value": 400.0,
+                      "unit": "tok/s", "vs_baseline": 20.0},
     "train": {"metric": "train", "value": 100.0, "unit": "ex/s",
               "vs_baseline": 8.0},
 }

@@ -183,3 +183,66 @@ def test_w8_matmul_kernel_matches_xla():
     ref = x @ (w8.astype(jnp.float32) * ws[None, :]) + b
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
                                atol=2e-4)
+
+
+def test_w8_matmul_stacked_matches_xla():
+    """Stacked-weights kernel (interpret): per-layer BlockSpec indexing of
+    the (L, K, N) int8 stack must match slicing + dequant-matmul for every
+    layer index (dynamic idx, one kernel instance)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gill_tpu.ops.w8_matmul import w8_matmul_stacked
+
+    rng = np.random.RandomState(1)
+    L, K, N = 3, 1024, 512
+    x = jnp.asarray(rng.randn(8, K).astype(np.float32))
+    w8 = jnp.asarray(rng.randint(-127, 128, (L, K, N)).astype(np.int8))
+    for i in range(L):
+        ws = jnp.asarray(
+            (np.abs(rng.randn(N)) * 1e-3 + 1e-4).astype(np.float32))
+        b = jnp.asarray(rng.randn(N).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            out = w8_matmul_stacked(x, w8, ws, b, i,
+                                    block_n=256, block_k=512)
+        ref = x @ (w8[i].astype(jnp.float32) * ws[None, :]) + b
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_layer_view_w8_stacked_forward():
+    """The unrolled + w8 forward (stacked-weight views) matches the scan
+    forward with sliced-dequant weights on CPU."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gill_tpu.config import OPTConfig
+    from gill_tpu.models import opt as opt_mod
+
+    import jax
+
+    cfg = OPTConfig(num_layers=2, hidden_size=64, ffn_dim=128, num_heads=4,
+                    vocab_size=100, max_positions=32,
+                    word_embed_proj_dim=64)
+    params = opt_mod.init(jax.random.PRNGKey(3), cfg)
+    qparams = opt_mod.quantize_params_w8(params)
+    emb = jnp.asarray(np.random.RandomState(0).randn(2, 5, 64) * 0.1,
+                      jnp.float32)
+    cache = opt_mod.init_cache(cfg, 2, 8, dtype=jnp.float32)
+    ref = opt_mod.forward(qparams, cfg, emb, cache=cache, cache_pos=0,
+                          unroll_layers=False)
+    out = opt_mod.forward(qparams, cfg, emb, cache=cache, cache_pos=0,
+                          unroll_layers=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]), rtol=1e-5,
+                               atol=1e-5)
+    # deferred decode step too
+    step_r = opt_mod.forward(qparams, cfg, emb[:, :1], cache=ref["cache"],
+                             cache_pos=jnp.asarray(5), unroll_layers=False)
+    step_u = opt_mod.forward(qparams, cfg, emb[:, :1], cache=out["cache"],
+                             cache_pos=jnp.asarray(5), unroll_layers=True)
+    np.testing.assert_allclose(np.asarray(step_u["logits"]),
+                               np.asarray(step_r["logits"]), rtol=1e-5,
+                               atol=1e-5)

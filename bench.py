@@ -216,6 +216,80 @@ def bench_opt_decode(model, batch, prompt_len, gen_len):
     return toks_per_sec, baseline_toks_per_sec
 
 
+def bench_serve(model, slots, n_requests=48, seed=7):
+    """Continuous-batching serving engine vs wave scheduling, same chip,
+    same programs, same deterministic mixed-length trace. Requests have
+    prompt lengths U[16,240] and generation lengths U[16,192]; wave
+    scheduling pays max(len) decode steps for every wave, the engine
+    refills finished slots between chunks. Tokens/s counts GENERATED
+    tokens only (prompt prefill work is included in the wall time)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gill_tpu.config import OPTConfig
+    from gill_tpu.models import opt as opt_mod
+    from gill_tpu.serve.engine import DecodeEngine, ServeRequest
+
+    cfg = OPTConfig.from_name(model)
+    w8 = os.environ.get("GILL_BENCH_W8", "0") == "1"
+    params = opt_mod.init_dummy(cfg, jnp.bfloat16)
+    if w8:
+        def q(leaf):
+            L, i, o = leaf["w"].shape
+            out = {"w8": jnp.zeros((L, i, o), jnp.int8),
+                   "ws": jnp.full((L, o), 1e-4, jnp.float32)}
+            if "b" in leaf:
+                out["b"] = leaf["b"]
+            if cfg.hidden_size >= 4096:
+                out["kern"] = ()
+            return out
+
+        layers = dict(params["layers"])
+        layers["attn"] = {k: q(v) for k, v in layers["attn"].items()}
+        layers["fc1"] = q(layers["fc1"])
+        layers["fc2"] = q(layers["fc2"])
+        params = dict(params)
+        params["layers"] = layers
+
+    rng = np.random.RandomState(seed)
+
+    def trace(n):
+        return [ServeRequest(
+            uid=i,
+            prompt=rng.randint(2, 1000, size=int(rng.randint(16, 241)))
+                      .tolist(),
+            max_new_tokens=int(rng.randint(16, 193))) for i in range(n)]
+
+    def make_engine():
+        return DecodeEngine(params, cfg, slots=slots, max_seq=512,
+                            chunk=int(os.environ.get("GILL_BENCH_CHUNK",
+                                                     "32")),
+                            prefill_buckets=(64, 128, 256),
+                            unroll_layers=True)
+
+    import time as _t
+
+    # warmup: compile every prefill bucket + the chunk program
+    eng = make_engine()
+    eng.run([ServeRequest(uid=0, prompt=[5] * p, max_new_tokens=4)
+             for p in (20, 100, 200)])
+
+    reqs = trace(n_requests)
+    n_tok = sum(r.max_new_tokens for r in reqs)
+    t0 = _t.perf_counter()
+    out = eng.run(list(reqs))
+    dt = _t.perf_counter() - t0
+    assert sum(len(v) for v in out.values()) == n_tok
+    cont_tps = n_tok / dt
+
+    t0 = _t.perf_counter()
+    out = eng.run_waves(list(reqs))
+    dt_w = _t.perf_counter() - t0
+    assert sum(len(v) for v in out.values()) == n_tok
+    wave_tps = n_tok / dt_w
+    return cont_tps, wave_tps
+
+
 def bench_sd_decode(batch: int, steps: int = 50, size: int = 512,
                     quantize: bool = False, sampler: str = "pndm"):
     """SD v1.5 512^2 CFG denoise throughput (img/s/chip). Weights are zeros
@@ -319,7 +393,13 @@ _MATRIX_RUNS = [
     ("sd_dpm", {"GILL_BENCH": "sd_dpm"}, 120),
     ("opt_w8", {"GILL_BENCH": "opt", "GILL_BENCH_W8": "1",
                 "GILL_BENCH_UNROLL": "1"}, 180),
+    ("opt_w8_b32", {"GILL_BENCH": "opt", "GILL_BENCH_W8": "1",
+                    "GILL_BENCH_UNROLL": "1",
+                    "GILL_BENCH_BATCH": "32"}, 180),
     ("opt", {"GILL_BENCH": "opt", "GILL_BENCH_UNROLL": "1"}, 180),
+    # Continuous-batching serving engine (gill_tpu/serve): mixed-length
+    # trace, baseline = wave scheduling with the same programs.
+    ("serve_w8", {"GILL_BENCH": "serve", "GILL_BENCH_W8": "1"}, 300),
     # opt-6.7b: the reference's actual LM (gill/models.py:56-73). bf16
     # weights alone are 13.4GB, so the feasible single-chip serving config
     # is W8A16 (+ optionally int8 KV) at batch 8; the 2.7b entries above are
@@ -500,6 +580,24 @@ def main():
             # batch 200 = 4M examples -> ~11.6 ex/s per GPU (main.py:89-101,
             # README.md:105); vs_baseline is ours / that per-device rate.
             "vs_baseline": round(v / 11.6, 3),
+        }))
+        return
+    if mode == "serve":
+        model = os.environ.get("GILL_BENCH_MODEL", "facebook/opt-2.7b")
+        slots = int(os.environ.get("GILL_BENCH_SLOTS", "16"))
+        cont, wave = bench_serve(model, slots)
+        suffix = "_w8" if os.environ.get("GILL_BENCH_W8", "0") == "1" else ""
+        print(json.dumps({
+            "metric": (f"{model.split('/')[-1]}_serve_tokens_per_sec_per_"
+                       f"chip{suffix}"),
+            "value": round(cont, 2),
+            "unit": "tokens/s/chip",
+            # baseline here = WAVE scheduling with the same engine/programs
+            # (i.e. plain batched generate without continuous refill) on the
+            # same mixed-length trace — the honest counterfactual; the
+            # reference serves requests one at a time (demo queue
+            # concurrency 1) and is orders of magnitude off this scale.
+            "vs_baseline": round(cont / wave, 3),
         }))
         return
     if mode in ("sd", "sd_int8", "sd_dpm"):

@@ -311,7 +311,11 @@ def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
     if positions is None:
         positions = jnp.arange(t)[None, :]
         if cache_pos is not None:
-            positions = positions + cache_pos
+            # cache_pos may be per-element (B,) — the continuous-batching
+            # engine decodes slots at different sequence depths.
+            cp = (cache_pos[:, None] if jnp.ndim(cache_pos) == 1
+                  else cache_pos)
+            positions = positions + cp
     pos_emb = params["embed_positions"]["weight"][positions + cfg.position_offset]
     h = h + pos_emb.astype(h.dtype)
     h0 = h
@@ -339,6 +343,14 @@ def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
             if not defer:
                 return dict(zip(ckeys, news))
             out = {}
+            if jnp.ndim(cache_pos) == 1:
+                # Per-slot positions (continuous-batching engine): one
+                # scatter per cache array at (layer, slot, pos[slot]).
+                bidx = jnp.arange(b)
+                for key, new in zip(ckeys, news):
+                    out[key] = cache[key].at[:, bidx, cache_pos].set(
+                        new[:, :, 0], mode="drop")
+                return out
             for key, new in zip(ckeys, news):
                 idx = (0, 0, cache_pos) + (0,) * (cache[key].ndim - 3)
                 out[key] = jax.lax.dynamic_update_slice(cache[key], new, idx)

@@ -87,8 +87,13 @@ def _decode_attention(q, k, v, *, scale: float, kv_offset=None,
         logits = logits * ks.astype(jnp.float32)
     logits = logits * scale
     if kv_offset is not None:
+        # kv_offset: scalar, or (B,) per-element query positions (the
+        # continuous-batching engine runs slots at different depths).
+        off = jnp.asarray(kv_offset)
+        if off.ndim == 1:
+            off = off[:, None, None]
         pos = jax.lax.broadcasted_iota(jnp.int32, (1, s, 1), 1)
-        logits = jnp.where(pos <= kv_offset, logits, _NEG_INF)
+        logits = jnp.where(pos <= off, logits, _NEG_INF)
     if extra_kv is not None:
         # joint softmax over (cache logits, own-token logit) without
         # concatenating onto the cache slice (that would copy it)
@@ -528,7 +533,8 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
         # (import-time knob, see module header).
         _chunk_min = DECODE_CHUNK_MIN
         if (_chunk_min > 0 and k.shape[1] >= _chunk_min
-                and k.shape[1] % 256 == 0 and kv_offset is not None):
+                and k.shape[1] % 256 == 0 and kv_offset is not None
+                and jnp.ndim(kv_offset) == 0):
             return _decode_attention_chunked(
                 q, k, v, scale=scale, extra_kv=extra_kv,
                 kv_scales=kv_scales, kv_offset=off)

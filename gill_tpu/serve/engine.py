@@ -1,0 +1,291 @@
+"""Continuous-batching LM serving engine (beyond-reference feature).
+
+The reference serves one request at a time through a full-reforward decode
+loop (/root/reference/gill/models.py:443-532). This engine keeps a fixed
+pool of batch SLOTS over one preallocated KV cache; each slot runs its own
+request at its own sequence depth, and finished slots are refilled from the
+queue without draining the batch. With mixed request lengths that removes
+the pad-to-longest tax of wave scheduling (every wave costs max(len) steps
+for all slots).
+
+TPU-first design:
+  * All shapes static: prompts pad to a bucket, decode runs in fixed-size
+    CHUNKS of steps under one jitted lax.scan; the host scheduler only
+    intervenes between chunks (the device never waits on per-token host
+    logic — important over a high-latency link).
+  * Per-slot sequence depths ride the deferred-write decode path
+    (models/opt.py forward): cache_pos is a (B,) vector, attention masks
+    per slot (ops/attention.py _decode_attention), and the post-scan KV
+    write is one scatter at (layer, slot, pos[slot]) — measured within 1%
+    of the uniform-position dynamic_update_slice (scripts/
+    serve_scatter_probe.py: 11.63 vs 11.51 ms/step at 2.7b W8, 16x512).
+  * Decode state (pos/tok/active) is DEVICE-RESIDENT and donated through
+    every program: the host pushes nothing between chunks and reads back
+    only the generated tokens (one transfer per chunk) — three extra
+    host->device pushes per chunk measured ~27 ms each over this link.
+  * Prefill reuses the static-offset flash-attention prefill (cache_pos=0)
+    at batch 1 per bucket, plants the prompt's k/v rows into the engine
+    cache with one dynamic_update_slice, and sets the slot's decode state
+    on device; first-token values are fetched for ALL refilled slots with
+    a single stacked transfer.
+  * The big cache is donated through every program, so slots update
+    in place — no per-chunk cache copies.
+
+A host-finished slot (max_new reached) keeps decoding garbage until it is
+refilled — every chunk step computes all slots anyway (the step cost is
+cache-bandwidth-bound, not per-active-slot), so freezing it early would
+save nothing, and its outputs are simply discarded. Device-side EOS does
+freeze the slot so positions stop advancing (outputs after EOS are pads).
+
+Greedy decode only (the serving default here and in the reference demo);
+EOS and per-request max_new_tokens both end a request.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gill_tpu.config import OPTConfig
+from gill_tpu.models import opt as opt_mod
+
+
+@dataclass
+class ServeRequest:
+    uid: int
+    prompt: List[int]              # token ids, already tokenized
+    max_new_tokens: int
+
+
+@dataclass
+class _SlotState:
+    uid: int
+    pos: int                       # next cache row to write
+    generated: List[int] = field(default_factory=list)
+    max_new: int = 0
+    fresh: bool = True             # first token still on device (chunk row 0)
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds largest bucket {buckets[-1]}")
+
+
+class DecodeEngine:
+    """Slot-based continuous batching over one OPT param pytree.
+
+    params/cfg: as produced by models/opt.py (optionally quantize_params_w8
+    for W8A16 serving). slots: batch width of the decode program. max_seq:
+    KV rows per slot (prompt + generation must fit). chunk: decode steps
+    per host round-trip.
+    """
+
+    def __init__(self, params, cfg: OPTConfig, *, slots: int = 16,
+                 max_seq: int = 512, chunk: int = 32,
+                 prefill_buckets=(64, 128, 256, 512),
+                 eos_id: Optional[int] = None, pad_id: int = 1,
+                 unroll_layers: bool = True, kv_dtype=jnp.bfloat16):
+        self.params = params
+        self.cfg = cfg
+        self.slots = slots
+        self.max_seq = max_seq
+        self.chunk = chunk
+        self.buckets = tuple(b for b in sorted(set(prefill_buckets))
+                             if b <= max_seq)
+        self.eos_id = eos_id
+        self.pad_id = pad_id
+        self.unroll = unroll_layers
+        self.cache = opt_mod.init_cache(cfg, slots, max_seq, dtype=kv_dtype)
+        self._dstate = None            # device {"pos","tok","active"}
+        self._state: List[Optional[_SlotState]] = [None] * slots
+        self.stats = {"prefills": 0, "chunks": 0, "decode_steps": 0,
+                      "tokens_out": 0}
+
+    def _fresh_state(self):
+        return {"pos": jnp.zeros((self.slots,), jnp.int32),
+                "tok": jnp.full((self.slots,), self.pad_id, jnp.int32),
+                "active": jnp.zeros((self.slots,), bool)}
+
+    # -- jitted programs ----------------------------------------------------
+
+    @functools.cached_property
+    def _prefill_fn(self):
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, static_argnames=("plen",),
+                           donate_argnums=(1, 2))
+        def prefill(params, cache, state, tokens, true_len, slot, *, plen):
+            del plen
+            emb = opt_mod.embed_tokens(params, tokens)          # (1, P, E)
+            small = opt_mod.init_cache(cfg, 1, tokens.shape[1],
+                                       dtype=cache["k"].dtype)
+            # scan-over-layers: prefill is compute-bound (M = bucket), and
+            # the unrolled W8 path would materialize per-layer weight
+            # slices at M > 256 (nn.linear falls back to dequant there)
+            out = opt_mod.forward(params, cfg, emb, cache=small, cache_pos=0,
+                                  unroll_layers=False, skip_logits=True)
+            # logits only at the last valid position (the 50k-vocab head
+            # over the whole prompt would dominate prefill cost)
+            h_last = jnp.take_along_axis(
+                out["last_hidden"], true_len[None, None, None] - 1,
+                axis=1)[:, 0]
+            head = params["embed_tokens"]["weight"]
+            logits = jax.lax.dot_general(
+                h_last, head.astype(h_last.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            first = jnp.argmax(logits, axis=-1)[0].astype(jnp.int32)
+            new_cache = {}
+            for key in cache:
+                rows = out["cache"][key]                 # (L, 1, P, H, D)
+                new_cache[key] = jax.lax.dynamic_update_slice(
+                    cache[key], rows.astype(cache[key].dtype),
+                    (0, slot, 0) + (0,) * (cache[key].ndim - 3))
+            state = {"pos": state["pos"].at[slot].set(true_len),
+                     "tok": state["tok"].at[slot].set(first),
+                     "active": state["active"].at[slot].set(True)}
+            return new_cache, state, first
+
+        return prefill
+
+    @functools.cached_property
+    def _chunk_fn(self):
+        cfg, unroll = self.cfg, self.unroll
+        pad_id, max_seq = self.pad_id, self.max_seq
+        eos, steps = self.eos_id, self.chunk
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def run_chunk(params, cache, state):
+            def step(carry, _):
+                cache, pos, tok, active = carry
+                emb = opt_mod.embed_tokens(params, tok[:, None])
+                out = opt_mod.forward(params, cfg, emb, cache=cache,
+                                      cache_pos=pos, unroll_layers=unroll)
+                nxt = jnp.argmax(out["logits"][:, -1], axis=-1) \
+                         .astype(jnp.int32)
+                nxt = jnp.where(active, nxt, pad_id)
+                new_active = active
+                if eos is not None:
+                    new_active = new_active & (nxt != eos)
+                # inactive slots neither advance nor emit; their parked
+                # cache row is overwritten harmlessly until refill
+                pos = jnp.minimum(pos + active, max_seq - 1)
+                return (out["cache"], pos, nxt, new_active), nxt
+
+            entry_tok = state["tok"]
+            (cache, pos, tok, active), toks = jax.lax.scan(
+                step, (cache, state["pos"], state["tok"], state["active"]),
+                None, length=steps)
+            # Row 0 = the ENTRY tokens: for a slot just refilled this is the
+            # prefill's first generated token, so the host learns it from
+            # this one transfer instead of a per-prefill sync (measured
+            # ~65 ms round-trip per refill over this link).
+            toks = jnp.concatenate([entry_tok[None], toks], axis=0)
+            return cache, {"pos": pos, "tok": tok, "active": active}, toks
+
+        return run_chunk
+
+    # -- scheduler ----------------------------------------------------------
+
+    def _refill(self, queue: List[ServeRequest]):
+        # Fire-and-forget: no device->host sync here. The prefill's first
+        # generated token reaches the host as row 0 of the NEXT chunk's
+        # token block (the slot is marked `fresh` until then).
+        for s in range(self.slots):
+            if self._state[s] is not None or not queue:
+                continue
+            req = queue.pop(0)
+            plen = len(req.prompt)
+            if plen + req.max_new_tokens > self.max_seq:
+                raise ValueError(
+                    f"request {req.uid}: {plen}+{req.max_new_tokens} exceeds "
+                    f"max_seq {self.max_seq}")
+            pb = _bucket(plen, self.buckets)
+            toks = np.full((1, pb), self.pad_id, np.int32)
+            toks[0, :plen] = req.prompt
+            self.cache, self._dstate, _ = self._prefill_fn(
+                self.params, self.cache, self._dstate, jnp.asarray(toks),
+                jnp.asarray(plen, jnp.int32), jnp.asarray(s, jnp.int32),
+                plen=pb)
+            self.stats["prefills"] += 1
+            self._state[s] = _SlotState(uid=req.uid, pos=plen,
+                                        max_new=req.max_new_tokens)
+
+    def _collect(self, toks: np.ndarray):
+        """Fold one chunk's tokens into per-slot results; close finished
+        slots (max_new host-side, EOS by token value). toks row 0 holds the
+        chunk-ENTRY tokens — consumed only by `fresh` slots (it is their
+        prefill-produced first token; for everyone else it repeats the
+        already-collected previous token)."""
+        for s in range(self.slots):
+            st = self._state[s]
+            if st is None:
+                continue
+            rows = toks[:, s] if st.fresh else toks[1:, s]
+            st.fresh = False
+            for t in rows:
+                if len(st.generated) >= st.max_new:
+                    break
+                t = int(t)
+                st.generated.append(t)
+                if self.eos_id is not None and t == self.eos_id:
+                    break
+            done = (len(st.generated) >= st.max_new
+                    or (self.eos_id is not None
+                        and st.generated[-1] == self.eos_id))
+            if done:
+                self._finished.append((st.uid, st.generated))
+                self._state[s] = None
+
+    def _drain(self, results):
+        for uid, gen in self._finished:
+            results[uid] = gen
+            self.stats["tokens_out"] += len(gen)
+        self._finished = []
+
+    def run(self, requests: List[ServeRequest]) -> Dict[int, List[int]]:
+        """Serve all requests; returns uid -> generated token ids (greedy).
+        The first generated token comes from the prefill; EOS (when set) is
+        included in the output like the reference's tokenizer decode."""
+        queue = list(requests)
+        self._finished: List = []
+        self._dstate = self._fresh_state()
+        self._state = [None] * self.slots
+        results: Dict[int, List[int]] = {}
+        while queue or any(st is not None for st in self._state):
+            self._refill(queue)
+            if not any(st is not None for st in self._state):
+                continue                 # everything finished in prefill
+            self.cache, self._dstate, toks = self._chunk_fn(
+                self.params, self.cache, self._dstate)
+            self.stats["chunks"] += 1
+            self.stats["decode_steps"] += self.chunk
+            self._collect(np.asarray(toks))
+        self._drain(results)
+        return results
+
+    def run_waves(self, requests: List[ServeRequest]) -> Dict[int, List[int]]:
+        """Wave-scheduling baseline: fill all slots, decode until EVERY slot
+        finishes, then take the next wave — i.e. what batching looks like
+        without continuous refill. Same programs, same chunk size."""
+        results: Dict[int, List[int]] = {}
+        queue = list(requests)
+        self._dstate = self._fresh_state()
+        self._state = [None] * self.slots
+        while queue:
+            wave, queue = queue[:self.slots], queue[self.slots:]
+            self._finished = []
+            self._refill(wave)
+            while any(st is not None for st in self._state):
+                self.cache, self._dstate, toks = self._chunk_fn(
+                    self.params, self.cache, self._dstate)
+                self.stats["chunks"] += 1
+                self.stats["decode_steps"] += self.chunk
+                self._collect(np.asarray(toks))
+            self._drain(results)
+        return results

@@ -223,6 +223,7 @@ def bench_serve(model, slots, n_requests=48, seed=7):
     scheduling pays max(len) decode steps for every wave, the engine
     refills finished slots between chunks. Tokens/s counts GENERATED
     tokens only (prompt prefill work is included in the wall time)."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -232,8 +233,12 @@ def bench_serve(model, slots, n_requests=48, seed=7):
 
     cfg = OPTConfig.from_name(model)
     w8 = os.environ.get("GILL_BENCH_W8", "0") == "1"
-    params = opt_mod.init_dummy(cfg, jnp.bfloat16)
-    if w8:
+
+    def make_params():
+        p = opt_mod.init_dummy(cfg, jnp.bfloat16)
+        if not w8:
+            return p
+
         def q(leaf):
             L, i, o = leaf["w"].shape
             out = {"w8": jnp.zeros((L, i, o), jnp.int8),
@@ -244,12 +249,17 @@ def bench_serve(model, slots, n_requests=48, seed=7):
                 out["kern"] = ()
             return out
 
-        layers = dict(params["layers"])
+        layers = dict(p["layers"])
         layers["attn"] = {k: q(v) for k, v in layers["attn"].items()}
         layers["fc1"] = q(layers["fc1"])
         layers["fc2"] = q(layers["fc2"])
-        params = dict(params)
-        params["layers"] = layers
+        p = dict(p)
+        p["layers"] = layers
+        return p
+
+    # inside jit: only the (int8) outputs materialize — an eager build
+    # would hold the full bf16 tree before quantizing
+    params = jax.jit(make_params)()
 
     rng = np.random.RandomState(seed)
 

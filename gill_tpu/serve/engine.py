@@ -90,7 +90,8 @@ class DecodeEngine:
                  max_seq: int = 512, chunk: int = 32,
                  prefill_buckets=(64, 128, 256, 512),
                  eos_id: Optional[int] = None, pad_id: int = 1,
-                 unroll_layers: bool = True, kv_dtype=jnp.bfloat16):
+                 unroll_layers: bool = True, kv_dtype=jnp.bfloat16,
+                 mesh=None):
         self.params = params
         self.cfg = cfg
         self.slots = slots
@@ -101,11 +102,39 @@ class DecodeEngine:
         self.eos_id = eos_id
         self.pad_id = pad_id
         self.unroll = unroll_layers
+        self.mesh = mesh
         self.cache = opt_mod.init_cache(cfg, slots, max_seq, dtype=kv_dtype)
+        if mesh is not None:
+            # Tensor-parallel serving: Megatron specs shard the LM matrices
+            # over "model" (parallel/partition.py) and the KV cache shards
+            # by heads; GSPMD inserts the per-layer psums. bf16 weights
+            # only — the Pallas W8 kernel is a single-chip path (custom
+            # calls are not GSPMD-partitionable).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from gill_tpu.parallel.partition import param_shardings
+
+            assert not any(
+                isinstance(leaf, dict) and "w8" in leaf
+                for leaf in jax.tree_util.tree_leaves(
+                    params, is_leaf=lambda x: isinstance(x, dict))), \
+                "mesh mode requires bf16 params (w8 kernel is single-chip)"
+            self.params = jax.device_put(params,
+                                         param_shardings(mesh, params))
+            cache_sh = NamedSharding(mesh, P(None, None, None, "model",
+                                             None))
+            self.cache = jax.device_put(self.cache, cache_sh)
         self._dstate = None            # device {"pos","tok","active"}
         self._state: List[Optional[_SlotState]] = [None] * slots
         self.stats = {"prefills": 0, "chunks": 0, "decode_steps": 0,
                       "tokens_out": 0}
+
+    def _ctx(self):
+        if self.mesh is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        return jax.sharding.set_mesh(self.mesh)
 
     def _fresh_state(self):
         return {"pos": jnp.zeros((self.slots,), jnp.int32),
@@ -254,18 +283,19 @@ class DecodeEngine:
         included in the output like the reference's tokenizer decode."""
         queue = list(requests)
         self._finished: List = []
-        self._dstate = self._fresh_state()
-        self._state = [None] * self.slots
         results: Dict[int, List[int]] = {}
-        while queue or any(st is not None for st in self._state):
-            self._refill(queue)
-            if not any(st is not None for st in self._state):
-                continue                 # everything finished in prefill
-            self.cache, self._dstate, toks = self._chunk_fn(
-                self.params, self.cache, self._dstate)
-            self.stats["chunks"] += 1
-            self.stats["decode_steps"] += self.chunk
-            self._collect(np.asarray(toks))
+        with self._ctx():
+            self._dstate = self._fresh_state()
+            self._state = [None] * self.slots
+            while queue or any(st is not None for st in self._state):
+                self._refill(queue)
+                if not any(st is not None for st in self._state):
+                    continue             # everything finished in prefill
+                self.cache, self._dstate, toks = self._chunk_fn(
+                    self.params, self.cache, self._dstate)
+                self.stats["chunks"] += 1
+                self.stats["decode_steps"] += self.chunk
+                self._collect(np.asarray(toks))
         self._drain(results)
         return results
 
@@ -275,17 +305,18 @@ class DecodeEngine:
         without continuous refill. Same programs, same chunk size."""
         results: Dict[int, List[int]] = {}
         queue = list(requests)
-        self._dstate = self._fresh_state()
-        self._state = [None] * self.slots
-        while queue:
-            wave, queue = queue[:self.slots], queue[self.slots:]
-            self._finished = []
-            self._refill(wave)
-            while any(st is not None for st in self._state):
-                self.cache, self._dstate, toks = self._chunk_fn(
-                    self.params, self.cache, self._dstate)
-                self.stats["chunks"] += 1
-                self.stats["decode_steps"] += self.chunk
-                self._collect(np.asarray(toks))
-            self._drain(results)
+        with self._ctx():
+            self._dstate = self._fresh_state()
+            self._state = [None] * self.slots
+            while queue:
+                wave, queue = queue[:self.slots], queue[self.slots:]
+                self._finished = []
+                self._refill(wave)
+                while any(st is not None for st in self._state):
+                    self.cache, self._dstate, toks = self._chunk_fn(
+                        self.params, self.cache, self._dstate)
+                    self.stats["chunks"] += 1
+                    self.stats["decode_steps"] += self.chunk
+                    self._collect(np.asarray(toks))
+                self._drain(results)
         return results

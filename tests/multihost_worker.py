@@ -30,8 +30,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# Gloo's cross-process key-value rendezvous defaults to a 30s deadline;
+# on this 1-core host a parallel pytest/bench can starve a worker past it
+# (observed as "GetKeyValue() timed out" collective failures under load).
+os.environ.setdefault("GLOO_TIMEOUT_SECONDS", "300")
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                           num_processes=world, process_id=pid)
+                           num_processes=world, process_id=pid,
+                           initialization_timeout=300)
 assert jax.process_count() == world, jax.process_count()
 assert jax.device_count() == 4 * world, jax.device_count()
 assert jax.local_device_count() == 4

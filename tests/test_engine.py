@@ -142,3 +142,26 @@ def test_engine_unrolled_matches_scan(tiny):
                               prefill_buckets=(16,), unroll_layers=True,
                               kv_dtype=jnp.float32).run(reqs)
     assert out_scan == out_unroll
+
+
+def test_engine_tp_mesh_matches_single_device(tiny):
+    """mesh= : Megatron-TP sharded engine over the 8-device virtual mesh
+    produces the same tokens as the single-device engine."""
+    import jax
+
+    from gill_tpu.parallel import create_mesh
+
+    params, cfg = tiny
+    rng = np.random.RandomState(6)
+    reqs = [ServeRequest(uid=i, prompt=rng.randint(2, 120, size=int(
+        rng.randint(3, 12))).tolist(), max_new_tokens=int(rng.randint(2, 8)))
+        for i in range(6)]
+
+    single = DecodeEngine(params, cfg, slots=2, max_seq=32, chunk=4,
+                          prefill_buckets=(16,), unroll_layers=False,
+                          kv_dtype=jnp.float32).run(reqs)
+    mesh = create_mesh(dp_size=2, tp_size=4)   # 4 heads -> TP=4
+    sharded = DecodeEngine(params, cfg, slots=2, max_seq=32, chunk=4,
+                           prefill_buckets=(16,), unroll_layers=False,
+                           kv_dtype=jnp.float32, mesh=mesh).run(reqs)
+    assert single == sharded

@@ -279,8 +279,10 @@ def bench_serve(model, slots, n_requests=48, seed=7):
 
     import time as _t
 
-    # warmup: compile every prefill bucket + the chunk program
+    # warmup: compile every (bucket, wave-size) prefill variant + the chunk
+    # program, then one tiny end-to-end run for the scheduler/collect path
     eng = make_engine()
+    eng.warmup()
     eng.run([ServeRequest(uid=0, prompt=[5] * p, max_new_tokens=4)
              for p in (20, 100, 200)])
 

@@ -24,10 +24,12 @@ TPU-first design:
     only the generated tokens (one transfer per chunk) — three extra
     host->device pushes per chunk measured ~27 ms each over this link.
   * Prefill reuses the static-offset flash-attention prefill (cache_pos=0)
-    at batch 1 per bucket, plants the prompt's k/v rows into the engine
-    cache with one dynamic_update_slice, and sets the slot's decode state
-    on device; first-token values are fetched for ALL refilled slots with
-    a single stacked transfer.
+    BATCHED over every refill of one scheduler visit (prompts pad to the
+    wave's largest bucket, request count to a power of two), plants the
+    prompts' k/v rows into the engine cache with one scatter, and sets the
+    slots' decode state on device. One launch per wave means the relay
+    dispatch and the full LM weight stream are paid per WAVE, not per
+    request; slot-id padding rows scatter out of range and drop.
   * The big cache is donated through every program, so slots update
     in place — no per-chunk cache copies.
 
@@ -126,8 +128,8 @@ class DecodeEngine:
             self.cache = jax.device_put(self.cache, cache_sh)
         self._dstate = None            # device {"pos","tok","active"}
         self._state: List[Optional[_SlotState]] = [None] * slots
-        self.stats = {"prefills": 0, "chunks": 0, "decode_steps": 0,
-                      "tokens_out": 0}
+        self.stats = {"prefills": 0, "prefill_reqs": 0, "chunks": 0,
+                      "decode_steps": 0, "tokens_out": 0}
 
     def _ctx(self):
         if self.mesh is None:
@@ -135,6 +137,37 @@ class DecodeEngine:
 
             return contextlib.nullcontext()
         return jax.sharding.set_mesh(self.mesh)
+
+    def _rbucket(self, n: int) -> int:
+        # powers of 4 capped at the slot count: few jit variants (the
+        # prefill compute at these wave sizes is cheap next to the weight
+        # stream, so over-padding costs little)
+        r = 1
+        while r < n:
+            r = min(r * 4, self.slots)
+        return r
+
+    def warmup(self):
+        """Compile every (prompt bucket, wave size) prefill variant and the
+        chunk program without touching live state: all pad slot ids are out
+        of range, so every scatter drops and the programs are no-ops."""
+        with self._ctx():
+            if self._dstate is None:
+                self._dstate = self._fresh_state()
+            rbs = sorted({self._rbucket(n)
+                          for n in range(1, self.slots + 1)})
+            for pb in self.buckets:
+                for nreq in rbs:
+                    toks = np.full((nreq, pb), self.pad_id, np.int32)
+                    self.cache, self._dstate, _ = self._prefill_fn(
+                        self.params, self.cache, self._dstate,
+                        jnp.asarray(toks),
+                        jnp.ones((nreq,), jnp.int32),
+                        jnp.full((nreq,), self.slots, jnp.int32),
+                        plen=pb, nreq=nreq)
+            self.cache, self._dstate, toks = self._chunk_fn(
+                self.params, self.cache, self._dstate)
+            jax.block_until_ready(toks)
 
     def _fresh_state(self):
         return {"pos": jnp.zeros((self.slots,), jnp.int32),
@@ -147,37 +180,47 @@ class DecodeEngine:
     def _prefill_fn(self):
         cfg = self.cfg
 
-        @functools.partial(jax.jit, static_argnames=("plen",),
+        @functools.partial(jax.jit, static_argnames=("plen", "nreq"),
                            donate_argnums=(1, 2))
-        def prefill(params, cache, state, tokens, true_len, slot, *, plen):
-            del plen
-            emb = opt_mod.embed_tokens(params, tokens)          # (1, P, E)
-            small = opt_mod.init_cache(cfg, 1, tokens.shape[1],
+        def prefill(params, cache, state, tokens, true_len, slot_ids, *,
+                    plen, nreq):
+            # Batched prefill: tokens (R, P), true_len (R,), slot_ids (R,).
+            # One program launch plants R prompts into R slots — the weight
+            # stream (the W8 dequant fallback reads the full LM once per
+            # forward) and the relay dispatch overhead are paid once per
+            # refill WAVE instead of once per request. Pad rows carry
+            # slot_id == n_slots, dropped by every scatter below.
+            del plen, nreq
+            emb = opt_mod.embed_tokens(params, tokens)          # (R, P, E)
+            small = opt_mod.init_cache(cfg, tokens.shape[0], tokens.shape[1],
                                        dtype=cache["k"].dtype)
-            # scan-over-layers: prefill is compute-bound (M = bucket), and
-            # the unrolled W8 path would materialize per-layer weight
+            # scan-over-layers: prefill is compute-bound (M = R * bucket),
+            # and the unrolled W8 path would materialize per-layer weight
             # slices at M > 256 (nn.linear falls back to dequant there)
             out = opt_mod.forward(params, cfg, emb, cache=small, cache_pos=0,
                                   unroll_layers=False, skip_logits=True)
             # logits only at the last valid position (the 50k-vocab head
             # over the whole prompt would dominate prefill cost)
             h_last = jnp.take_along_axis(
-                out["last_hidden"], true_len[None, None, None] - 1,
-                axis=1)[:, 0]
+                out["last_hidden"], true_len[:, None, None] - 1,
+                axis=1)[:, 0]                                    # (R, E)
             head = params["embed_tokens"]["weight"]
             logits = jax.lax.dot_general(
                 h_last, head.astype(h_last.dtype), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            first = jnp.argmax(logits, axis=-1)[0].astype(jnp.int32)
+            first = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (R,)
             new_cache = {}
             for key in cache:
-                rows = out["cache"][key]                 # (L, 1, P, H, D)
-                new_cache[key] = jax.lax.dynamic_update_slice(
-                    cache[key], rows.astype(cache[key].dtype),
-                    (0, slot, 0) + (0,) * (cache[key].ndim - 3))
-            state = {"pos": state["pos"].at[slot].set(true_len),
-                     "tok": state["tok"].at[slot].set(first),
-                     "active": state["active"].at[slot].set(True)}
+                rows = out["cache"][key]                 # (L, R, P, H, D)
+                new_cache[key] = cache[key].at[
+                    :, slot_ids, :rows.shape[2]].set(
+                    rows.astype(cache[key].dtype), mode="drop")
+            state = {"pos": state["pos"].at[slot_ids].set(true_len,
+                                                          mode="drop"),
+                     "tok": state["tok"].at[slot_ids].set(first,
+                                                          mode="drop"),
+                     "active": state["active"].at[slot_ids].set(True,
+                                                                mode="drop")}
             return new_cache, state, first
 
         return prefill
@@ -225,6 +268,14 @@ class DecodeEngine:
         # Fire-and-forget: no device->host sync here. The prefill's first
         # generated token reaches the host as row 0 of the NEXT chunk's
         # token block (the slot is marked `fresh` until then).
+        #
+        # All refills of one scheduler visit run as ONE batched prefill
+        # launch: prompts pad to the wave's largest bucket, the request
+        # count pads to a power of two (pad rows scatter to the
+        # out-of-range slot id == n_slots and are dropped). Per-request
+        # launches cost a relay dispatch AND a full LM weight stream each;
+        # the wave pays both once.
+        wave = []                      # (slot, request) pairs
         for s in range(self.slots):
             if self._state[s] is not None or not queue:
                 continue
@@ -234,15 +285,26 @@ class DecodeEngine:
                 raise ValueError(
                     f"request {req.uid}: {plen}+{req.max_new_tokens} exceeds "
                     f"max_seq {self.max_seq}")
-            pb = _bucket(plen, self.buckets)
-            toks = np.full((1, pb), self.pad_id, np.int32)
-            toks[0, :plen] = req.prompt
-            self.cache, self._dstate, _ = self._prefill_fn(
-                self.params, self.cache, self._dstate, jnp.asarray(toks),
-                jnp.asarray(plen, jnp.int32), jnp.asarray(s, jnp.int32),
-                plen=pb)
-            self.stats["prefills"] += 1
-            self._state[s] = _SlotState(uid=req.uid, pos=plen,
+            wave.append((s, req))
+        if not wave:
+            return
+        pb = max(_bucket(len(req.prompt), self.buckets) for _, req in wave)
+        nreq = self._rbucket(len(wave))
+        toks = np.full((nreq, pb), self.pad_id, np.int32)
+        lens = np.ones((nreq,), np.int32)
+        slot_ids = np.full((nreq,), self.slots, np.int32)   # OOB -> dropped
+        for i, (s, req) in enumerate(wave):
+            toks[i, :len(req.prompt)] = req.prompt
+            lens[i] = len(req.prompt)
+            slot_ids[i] = s
+        self.cache, self._dstate, _ = self._prefill_fn(
+            self.params, self.cache, self._dstate, jnp.asarray(toks),
+            jnp.asarray(lens), jnp.asarray(slot_ids), plen=pb, nreq=nreq)
+        self.stats["prefills"] += 1
+        self.stats["prefill_reqs"] = (self.stats.get("prefill_reqs", 0)
+                                      + len(wave))
+        for s, req in wave:
+            self._state[s] = _SlotState(uid=req.uid, pos=len(req.prompt),
                                         max_new=req.max_new_tokens)
 
     def _collect(self, toks: np.ndarray):

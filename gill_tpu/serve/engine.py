@@ -70,6 +70,9 @@ class _SlotState:
     generated: List[int] = field(default_factory=list)
     max_new: int = 0
     fresh: bool = True             # first token still on device (chunk row 0)
+    planned: int = 0               # tokens covered by DISPATCHED chunks
+                                   # (pipelined scheduler only)
+    done: bool = False             # result delivered (pipelined scheduler)
 
 
 def _bucket(n: int, buckets) -> int:
@@ -359,6 +362,89 @@ class DecodeEngine:
                 self.stats["decode_steps"] += self.chunk
                 self._collect(np.asarray(toks))
         self._drain(results)
+        return results
+
+    def _collect_block(self, block, results: Dict[int, List[int]]):
+        """Fold one PIPELINED chunk's token block into the requests that
+        occupied each slot when that chunk was dispatched (the snapshot
+        captures the _SlotState objects, so collection is correct even
+        after the slot has been refilled by a later request)."""
+        toks, snap = block
+        arr = np.asarray(toks)
+        for s, (st, was_fresh) in snap.items():
+            if st.done:
+                continue
+            rows = arr[:, s] if was_fresh else arr[1:, s]
+            for t in rows:
+                if len(st.generated) >= st.max_new:
+                    break
+                t = int(t)
+                st.generated.append(t)
+                if self.eos_id is not None and t == self.eos_id:
+                    break
+            if (len(st.generated) >= st.max_new
+                    or (self.eos_id is not None and st.generated
+                        and st.generated[-1] == self.eos_id)):
+                st.done = True
+                results[st.uid] = st.generated
+                self.stats["tokens_out"] += len(st.generated)
+
+    def run_pipelined(self, requests: List[ServeRequest], *,
+                      depth: int = 2) -> Dict[int, List[int]]:
+        """Asynchronous chunk pipeline: the scheduler never waits for a
+        chunk's tokens before dispatching the next one. Refill planning
+        needs no device data — each request's token budget (max_new_tokens)
+        is known host-side, so a slot is reusable the moment enough chunks
+        to cover its budget have been DISPATCHED (the refill prefill
+        executes on device strictly after those chunks). Token blocks come
+        back as futures and are folded into results with a lag of up to
+        `depth` chunks, off the device's critical path: the device runs
+        chunk-to-chunk with no host round-trip in between, which removes
+        run()'s per-chunk sync stall and lets a smaller `chunk` cut the
+        budget-overshoot waste without paying more syncs.
+
+        EOS (when set) stays correct — the device freezes the slot and the
+        collector stops at the EOS token — but the PLANNER does not learn
+        about it until collection, so an early-EOS-heavy workload refills
+        late and run() may schedule tighter. For closed-budget generation
+        (the reference's fixed num_words decode, gill/models.py:443-464)
+        this scheduler strictly dominates."""
+        queue = list(requests)
+        results: Dict[int, List[int]] = {}
+        from collections import deque
+
+        pending = deque()
+        with self._ctx():
+            self._dstate = self._fresh_state()
+            self._state = [None] * self.slots
+            while True:
+                # retire slots whose budget is covered by dispatched chunks
+                for s in range(self.slots):
+                    st = self._state[s]
+                    if st is not None and st.planned >= st.max_new:
+                        self._state[s] = None
+                self._refill(queue)
+                active = [s for s in range(self.slots)
+                          if self._state[s] is not None]
+                if not active and not pending:
+                    break
+                if active:
+                    self.cache, self._dstate, toks = self._chunk_fn(
+                        self.params, self.cache, self._dstate)
+                    self.stats["chunks"] += 1
+                    self.stats["decode_steps"] += self.chunk
+                    snap = {}
+                    for s in active:
+                        st = self._state[s]
+                        snap[s] = (st, st.fresh)
+                        # a fresh slot also yields its prefill token (row 0)
+                        st.planned += self.chunk + (1 if st.fresh else 0)
+                        st.fresh = False
+                    pending.append((toks, snap))
+                while len(pending) > depth or (not active and pending):
+                    self._collect_block(pending.popleft(), results)
+        while pending:
+            self._collect_block(pending.popleft(), results)
         return results
 
     def run_waves(self, requests: List[ServeRequest]) -> Dict[int, List[int]]:

@@ -1,0 +1,151 @@
+"""Minimal production HTTP front-end for the serving engine (stdlib only).
+
+Endpoints:
+  GET  /healthz        -> {"ok": true}
+  GET  /stats          -> engine counters (prefills, chunks, tokens_out, ...)
+  POST /v1/generate    -> body {"prompt": [int ids]} or {"text": "..."}
+                          plus "max_new_tokens" (int, default 64) and
+                          "stream" (bool, default false).
+       non-stream: one JSON object {"tokens": [...], "text": "..."}.
+       stream:     chunked NDJSON — one {"token": id, "text": piece} line
+                   per generated token as it leaves the scheduler, then a
+                   final {"done": true, "n": count} line.
+
+"text" requires a tokenizer with encode()/decode() (gill_tpu.tokenizer);
+token-id requests work without one. Every request rides the continuous-
+batching OnlineEngine — concurrent requests share the slot pool instead of
+queueing behind each other (the reference demo's gradio queue serializes at
+concurrency 1, /root/reference/demo/app_gradio.py:216-218).
+"""
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from gill_tpu.serve.online import OnlineEngine
+
+
+def make_server(online: OnlineEngine, tokenizer=None,
+                host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """Build (not start) the server; port 0 picks a free port
+    (server_address[1] after construction). Run with serve_forever()."""
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):     # quiet by default
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True})
+            elif self.path == "/stats":
+                self._json(200, dict(online.eng.stats))
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def _chunk(self, data: bytes):
+            self.wfile.write(f"{len(data):x}\r\n".encode())
+            self.wfile.write(data + b"\r\n")
+
+        def do_POST(self):
+            if self.path != "/v1/generate":
+                self._json(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if "prompt" in req:
+                    prompt = [int(t) for t in req["prompt"]]
+                elif "text" in req:
+                    if tokenizer is None:
+                        raise ValueError(
+                            "'text' requires a server-side tokenizer; "
+                            "send token ids via 'prompt'")
+                    prompt = list(tokenizer.encode(req["text"]))
+                else:
+                    raise ValueError("need 'prompt' (ids) or 'text'")
+                max_new = int(req.get("max_new_tokens", 64))
+                handle = online.submit(prompt, max_new)
+            except (ValueError, KeyError, TypeError,
+                    json.JSONDecodeError) as e:
+                self._json(400, {"error": str(e)})
+                return
+
+            if not req.get("stream", False):
+                toks = handle.result()
+                text = tokenizer.decode(toks) if tokenizer else None
+                self._json(200, {"tokens": toks, "text": text})
+                return
+
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            count = 0
+            for tok in handle.stream():
+                piece = tokenizer.decode([tok]) if tokenizer else None
+                self._chunk(json.dumps(
+                    {"token": tok, "text": piece}).encode() + b"\n")
+                count += 1
+            self._chunk(json.dumps({"done": True, "n": count}).encode()
+                        + b"\n")
+            self.wfile.write(b"0\r\n\r\n")
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv: Optional[list] = None):
+    """CLI: serve an OPT model (random or converted weights) for token-id
+    requests. For a real deployment, load converted weights and pass the
+    BPE tokenizer (see gill_tpu/weights/convert.py, gill_tpu/tokenizer.py).
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="facebook/opt-125m")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--slots", type=int, default=16)
+    p.add_argument("--max-seq", type=int, default=512)
+    p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (e.g. cpu)")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from gill_tpu.config import OPTConfig
+    from gill_tpu.models import opt as opt_mod
+    from gill_tpu.serve.engine import DecodeEngine
+
+    cfg = OPTConfig.from_name(args.model)
+    params = opt_mod.init_dummy(cfg, jnp.bfloat16)
+    eng = DecodeEngine(params, cfg, slots=args.slots, max_seq=args.max_seq,
+                       chunk=args.chunk)
+    eng.warmup()
+    online = OnlineEngine(eng)
+    srv = make_server(online, host=args.host, port=args.port)
+    print(f"serving {args.model} on http://{args.host}:"
+          f"{srv.server_address[1]}", flush=True)
+    try:
+        srv.serve_forever()
+    finally:
+        online.close()
+
+
+if __name__ == "__main__":
+    main()

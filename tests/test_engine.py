@@ -167,6 +167,45 @@ def test_engine_warmup_is_inert_and_prefills_are_batched(tiny):
     assert eng.stats["prefills"] < len(reqs)
 
 
+def test_engine_pipelined_matches_run(tiny):
+    """The asynchronous chunk pipeline must be invisible in the outputs:
+    same tokens as the synchronous scheduler for any depth/packing."""
+    params, cfg = tiny
+    rng = np.random.RandomState(7)
+    reqs = [ServeRequest(uid=i, prompt=rng.randint(2, 120, size=int(
+        rng.randint(3, 20))).tolist(), max_new_tokens=int(rng.randint(1, 14)))
+        for i in range(11)]
+
+    sync = DecodeEngine(params, cfg, slots=3, max_seq=64, chunk=4,
+                        prefill_buckets=(8, 32), unroll_layers=False,
+                        kv_dtype=jnp.float32).run(reqs)
+    for depth in (1, 2, 5):
+        eng = DecodeEngine(params, cfg, slots=3, max_seq=64, chunk=4,
+                           prefill_buckets=(8, 32), unroll_layers=False,
+                           kv_dtype=jnp.float32)
+        piped = eng.run_pipelined(reqs, depth=depth)
+        assert piped == sync, f"depth {depth}"
+
+
+def test_engine_pipelined_eos(tiny):
+    """EOS stays correct in pipelined mode (collector truncates at EOS even
+    though the planner scheduled the full budget)."""
+    params, cfg = tiny
+    rng = np.random.RandomState(8)
+    prompt = rng.randint(2, 120, size=6).tolist()
+    free_run = DecodeEngine(params, cfg, slots=2, max_seq=64, chunk=4,
+                            prefill_buckets=(8,), unroll_layers=False,
+                            kv_dtype=jnp.float32).run(
+        [ServeRequest(uid=0, prompt=prompt, max_new_tokens=10)])[0]
+    eos = free_run[4]
+    eng = DecodeEngine(params, cfg, slots=2, max_seq=64, chunk=4,
+                       prefill_buckets=(8,), unroll_layers=False,
+                       kv_dtype=jnp.float32, eos_id=eos)
+    stopped = eng.run_pipelined([ServeRequest(uid=0, prompt=prompt,
+                                              max_new_tokens=10)])[0]
+    assert stopped == free_run[:free_run.index(eos) + 1]
+
+
 def test_engine_tp_mesh_matches_single_device(tiny):
     """mesh= : Megatron-TP sharded engine over the 8-device virtual mesh
     produces the same tokens as the single-device engine."""

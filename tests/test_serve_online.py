@@ -1,0 +1,157 @@
+"""Online serving layer (gill_tpu/serve/online.py + http.py): asynchronous
+submission, token streaming, and the stdlib HTTP front-end must all produce
+exactly the tokens the batch scheduler produces."""
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gill_tpu.config import OPTConfig
+from gill_tpu.models import opt as opt_mod
+from gill_tpu.serve.engine import DecodeEngine, ServeRequest
+from gill_tpu.serve.http import make_server
+from gill_tpu.serve.online import OnlineEngine
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = OPTConfig(num_layers=2, hidden_size=64, ffn_dim=128, num_heads=4,
+                    vocab_size=128, max_positions=256,
+                    word_embed_proj_dim=64)
+    params = opt_mod.init(jax.random.PRNGKey(11), cfg)
+    return params, cfg
+
+
+def _engine(tiny, **kw):
+    params, cfg = tiny
+    kw.setdefault("slots", 3)
+    kw.setdefault("max_seq", 64)
+    kw.setdefault("chunk", 4)
+    kw.setdefault("prefill_buckets", (8, 32))
+    kw.setdefault("unroll_layers", False)
+    kw.setdefault("kv_dtype", jnp.float32)
+    params, cfg = tiny
+    return DecodeEngine(params, cfg, **kw)
+
+
+def _mk_reqs(n, seed):
+    rng = np.random.RandomState(seed)
+    return [(rng.randint(2, 120, size=int(rng.randint(3, 20))).tolist(),
+             int(rng.randint(2, 12))) for _ in range(n)]
+
+
+def test_online_matches_batch(tiny):
+    reqs = _mk_reqs(8, 0)
+    batch = _engine(tiny).run(
+        [ServeRequest(uid=i, prompt=p, max_new_tokens=m)
+         for i, (p, m) in enumerate(reqs)])
+
+    online = OnlineEngine(_engine(tiny))
+    try:
+        handles = [online.submit(p, m) for p, m in reqs]
+        for i, h in enumerate(handles):
+            assert h.result(timeout=120) == batch[i], f"req {i}"
+    finally:
+        online.close()
+
+
+def test_online_streaming_is_incremental(tiny):
+    """stream() must yield the same tokens, and late-submitted requests
+    must join the running batch (continuous intake)."""
+    reqs = _mk_reqs(4, 1)
+    batch = _engine(tiny).run(
+        [ServeRequest(uid=i, prompt=p, max_new_tokens=m)
+         for i, (p, m) in enumerate(reqs)])
+
+    online = OnlineEngine(_engine(tiny))
+    try:
+        h0 = online.submit(*reqs[0])
+        streamed = []
+        it = h0.stream()
+        streamed.append(next(it))        # first token arrives...
+        # ...then submit more work mid-flight
+        rest = [online.submit(p, m) for p, m in reqs[1:]]
+        streamed.extend(it)
+        assert streamed == batch[0]
+        for i, h in enumerate(rest, start=1):
+            assert h.result(timeout=120) == batch[i], f"req {i}"
+    finally:
+        online.close()
+
+
+def test_online_submit_validates(tiny):
+    online = OnlineEngine(_engine(tiny))
+    try:
+        with pytest.raises(ValueError):
+            online.submit([5] * 60, 30)      # 60+30 > max_seq 64
+    finally:
+        online.close()
+
+
+def test_http_server_end_to_end(tiny):
+    reqs = _mk_reqs(3, 2)
+    batch = _engine(tiny).run(
+        [ServeRequest(uid=i, prompt=p, max_new_tokens=m)
+         for i, (p, m) in enumerate(reqs)])
+
+    online = OnlineEngine(_engine(tiny))
+    srv = make_server(online, port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.loads(r.read()) == {"ok": True}
+
+        # concurrent non-stream posts share the slot pool
+        results = [None] * len(reqs)
+
+        def post(i):
+            p, m = reqs[i]
+            body = json.dumps({"prompt": p, "max_new_tokens": m}).encode()
+            rq = urllib.request.Request(
+                f"{base}/v1/generate", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(rq, timeout=300) as r:
+                results[i] = json.loads(r.read())["tokens"]
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(len(reqs))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        for i in range(len(reqs)):
+            assert results[i] == batch[i], f"req {i}"
+
+        # streaming: NDJSON lines, one per token, then done
+        p, m = reqs[0]
+        body = json.dumps({"prompt": p, "max_new_tokens": m,
+                           "stream": True}).encode()
+        rq = urllib.request.Request(
+            f"{base}/v1/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(rq, timeout=300) as r:
+            lines = [json.loads(ln) for ln in r.read().splitlines() if ln]
+        assert lines[-1]["done"] is True and lines[-1]["n"] == m
+        assert [ln["token"] for ln in lines[:-1]] == batch[0]
+
+        # bad request -> 400
+        rq = urllib.request.Request(
+            f"{base}/v1/generate", data=b'{"text": "hi"}',
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(rq, timeout=30)
+        assert e.value.code == 400
+
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["tokens_out"] >= sum(m for _, m in reqs)
+    finally:
+        srv.shutdown()
+        online.close()

@@ -169,7 +169,18 @@ class GILL:
         valid = np.asarray(out["valid"][0])
         tokens = tokens[valid]
         hidden = out["hidden"][0]  # device array (S, E)
+        nt = self.core.cfg.num_tokens
+        return self._postprocess_generation(
+            tokens, lambda i: hidden[None, i: i + nt, :], max_num_rets,
+            rng, guidance_scale, num_inference_steps)
 
+    def _postprocess_generation(self, tokens, hidden_lookup, max_num_rets,
+                                rng, guidance_scale, num_inference_steps):
+        """Newline truncation, [IMG]-run detection and the per-run
+        retrieval / decision / SD-generation branches (reference
+        models.py:635-762). tokens: 1-D np.int32 of VALID generated ids;
+        hidden_lookup(i) -> (1, num_tokens, E) hidden states of the run
+        starting at token index i."""
         # Truncate at the first newline (reference models.py:635-644).
         nl_id = self.tokenizer.encode("\n", add_special_tokens=False)[0]
         nl = np.nonzero(tokens == nl_id)[0]
@@ -202,7 +213,7 @@ class GILL:
         seen_image_idx: List[int] = []
         last_ret_idx = 0
         for ret_idx in ret_starts:
-            raw_emb = hidden[None, ret_idx: ret_idx + nt, :]  # (1, nt, E)
+            raw_emb = hidden_lookup(ret_idx)                  # (1, nt, E)
             image_outputs = {"gen": [], "ret": [], "decision": None}
 
             ret_emb = None
@@ -283,6 +294,73 @@ class GILL:
             return_outputs.append(truncate_caption(caption) + f" {gen_prefix}")
             return_outputs.append(image_outputs)
         return return_outputs
+
+    # -- batched serving (beyond-reference) ------------------------------------
+
+    def generate_for_images_and_texts_batch(
+            self, prompts_batch: List[List], num_words: int = 32,
+            min_word_tokens: int = 0, ret_scale_factor: float = 1.0,
+            gen_scale_factor: float = 1.0, generator=None,
+            always_add_bos: bool = False, guidance_scale: float = 7.5,
+            num_inference_steps: int = 50, slots: int = 8, chunk: int = 16,
+            max_seq: Optional[int] = None):
+        """Serve MANY interleaved prompts concurrently over the
+        continuous-batching GILL engine (serve/gill_engine.py) — same
+        per-prompt output structure as generate_for_images_and_texts,
+        returned in input order. Greedy decode (temperature 0, the
+        demo/inference-examples default) and max_num_rets=1 (the engine's
+        device-side tap captures the first [IMG] run).
+
+        The reference serves one prompt per full decode loop
+        (models.py:582-644); here mixed-length prompts share one slot pool,
+        so a batch of chat turns costs max-depth, not sum-of-depths.
+        """
+        if num_words <= 0:
+            raise NotImplementedError(
+                "Generation not implemented for num_words=0.")
+        assert len(self.core.cfg.text_emb_layers) == 1, \
+            self.core.cfg.text_emb_layers
+        from gill_tpu.serve.gill_engine import (GillDecodeEngine,
+                                                GillServeRequest)
+
+        rng = generator if generator is not None else jax.random.PRNGKey(0)
+        scale = (max(ret_scale_factor, 1.0) * max(gen_scale_factor, 1.0))
+        reqs = []
+        for uid, prompts in enumerate(prompts_batch):
+            embs, _ = self._encode_prompts(prompts, always_add_bos)
+            reqs.append(GillServeRequest(
+                uid=uid, embs=np.asarray(embs[0], np.float32),
+                num_words=num_words, min_word_tokens=min_word_tokens,
+                img_scale=scale))
+
+        nt = self.core.cfg.num_tokens
+        if max_seq is None:
+            longest = max(r.embs.shape[0] for r in reqs)
+            max_seq = -(-(longest + num_words + nt) // 64) * 64
+        key = (slots, chunk, max_seq)
+        cache = getattr(self, "_serve_engines", None)
+        if cache is None:
+            cache = {}
+            self._serve_engines = cache
+        eng = cache.get(key)
+        if eng is None:
+            kv_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                        else jnp.float32)
+            eng = GillDecodeEngine(self.core, self.params, slots=slots,
+                                   max_seq=max_seq, chunk=chunk,
+                                   kv_dtype=kv_dtype)
+            cache[key] = eng
+        served = eng.run(reqs)
+
+        outputs = []
+        for uid in range(len(prompts_batch)):
+            res = served[uid]
+            tokens = np.asarray(res["tokens"], np.int32)
+            img_hidden = jnp.asarray(res["img_hidden"])[None]  # (1, nt, E)
+            outputs.append(self._postprocess_generation(
+                tokens, lambda i, h=img_hidden: h, 1, rng,
+                guidance_scale, num_inference_steps))
+        return outputs
 
     @staticmethod
     def _to_pil(arr) -> List[Image.Image]:

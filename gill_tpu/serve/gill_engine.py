@@ -1,0 +1,380 @@
+"""Continuous-batching serving for the FULL GILL decode (beyond-reference).
+
+engine.py serves a plain LM; this engine serves GILLCore's decode semantics
+(reference GILLModel.generate, gill/models.py:443-532) over a slot pool:
+
+  * prompts are interleaved image+text EMBEDDING sequences (assembled by
+    api.GILL._encode_prompts — reference models.py:600-626), so prefill
+    plants (R, P, E) embeddings rather than token ids;
+  * every decode step applies the reference's logit surgery per slot with
+    per-request parameters: [IMG1..n) banned, no [IMG0] before
+    min_word_tokens sampling iterations, |logit|*scale boost on [IMG0],
+    and emitting [IMG0] force-commits the remaining [IMG1..n) tokens
+    (models.py:476-520);
+  * the hidden state of each [IMG] token (the GILLMapper/retrieval input,
+    models.py:660-662) is captured device-side into a per-slot
+    (num_tokens, E) tap buffer — first [IMG] run wins, matching the
+    api's first-complete-run selection — so the host fetches 8 rows per
+    finished request instead of streaming (steps, E) hidden blocks;
+  * scheduling is the asynchronous chunk pipeline of engine.run_pipelined:
+    GILL generation is closed-budget (num_words + (num_tokens-1) *
+    max_img_runs scan steps, no EOS), so refills are planned entirely
+    host-side and the device runs chunk-to-chunk without host syncs.
+
+Greedy decode only (temperature 0 — the inference-examples/demo default).
+"""
+from __future__ import annotations
+
+import functools
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gill_tpu.config import OPTConfig
+from gill_tpu.models import opt as opt_mod
+from gill_tpu.serve.engine import _bucket
+
+
+@dataclass
+class GillServeRequest:
+    uid: int
+    embs: np.ndarray               # (P, E) interleaved prompt embeddings
+    num_words: int
+    min_word_tokens: int = 0
+    img_scale: float = 1.0         # ret_scale * gen_scale boost on [IMG0]
+    max_img_runs: int = 1
+
+
+@dataclass
+class _GSlot:
+    uid: int
+    budget: int                    # fed decode steps still to cover
+    nt: int
+    generated: List[int] = field(default_factory=list)
+    valid: List[bool] = field(default_factory=list)
+    fresh: bool = True
+    planned: int = 0               # FED steps covered by dispatched chunks
+    done: bool = False
+
+
+class GillDecodeEngine:
+    """Slot-pooled continuous batching over a GILLCore param pytree.
+
+    core: models.gill.GILLCore (provides cfg/opt_cfg/img_start/pad id and
+    the [IMG]-merged embedding table). params: the GILL param pytree
+    ({"lm", "vision", "adapters"}).
+    """
+
+    def __init__(self, core, params, *, slots: int = 8, max_seq: int = 512,
+                 chunk: int = 16, prefill_buckets=(64, 128, 256),
+                 unroll_layers: Optional[bool] = None,
+                 kv_dtype=jnp.bfloat16):
+        self.core = core
+        self.cfg = core.opt_cfg
+        self.nt = core.cfg.num_tokens
+        self.img0 = core.img_start
+        self.pad_id = core.pad_token_id
+        e0 = core.cfg.text_emb_layers[0]
+        self.final_tap = e0 in (-1, core.opt_cfg.num_layers)
+        self.tap_layer = e0
+        self.slots = slots
+        self.max_seq = max_seq
+        self.chunk = chunk
+        self.buckets = tuple(b for b in sorted(set(prefill_buckets))
+                             if b <= max_seq)
+        if unroll_layers is None:
+            unroll_layers = jax.default_backend() == "tpu"
+        self.unroll = unroll_layers
+        # LM params with the [IMG]-adapter rows merged into the embedding
+        # table, so embed_tokens AND the tied lm head see the learned rows.
+        lm = dict(params["lm"])
+        lm["embed_tokens"] = {"weight": core.lm_head_table(params)}
+        self.params = lm
+        self.emb_dim = int(lm["embed_tokens"]["weight"].shape[1])
+        self.cache = opt_mod.init_cache(self.cfg, slots, max_seq,
+                                        dtype=kv_dtype)
+        self._dstate = None
+        self._dtap = None
+        self._state: List[Optional[_GSlot]] = [None] * slots
+        self.stats = {"prefills": 0, "prefill_reqs": 0, "chunks": 0,
+                      "decode_steps": 0, "tokens_out": 0}
+
+    # -- state ------------------------------------------------------------
+
+    def _fresh_state(self):
+        B = self.slots
+        return ({"pos": jnp.zeros((B,), jnp.int32),
+                 "tok": jnp.full((B,), self.pad_id, jnp.int32),
+                 "iter": jnp.zeros((B,), jnp.int32),
+                 "force": jnp.zeros((B,), jnp.int32),
+                 "valid": jnp.zeros((B,), bool),
+                 "nw": jnp.ones((B,), jnp.int32),
+                 "mw": jnp.zeros((B,), jnp.int32),
+                 "scale": jnp.ones((B,), jnp.float32)},
+                {"tap": jnp.zeros((B, self.nt, self.emb_dim), jnp.float32),
+                 "tapw": jnp.zeros((B, self.nt), bool)})
+
+    def _rbucket(self, n: int) -> int:
+        r = 1
+        while r < n:
+            r = min(r * 4, self.slots)
+        return r
+
+    # -- logit surgery (reference models.py:476-489), vectorized per slot --
+
+    def _pick(self, logits, iter_c, mw, scale):
+        img0, nt = self.img0, self.nt
+        v = logits.shape[-1]
+        ids = jnp.arange(v)
+        ban = (ids > img0) & (ids < img0 + nt)
+        logits = jnp.where(ban[None], -jnp.inf, logits)
+        gate = iter_c < mw
+        img_col = logits[:, img0]
+        boosted = jnp.where(scale > 1.0, jnp.abs(img_col) * scale, img_col)
+        img_col = jnp.where(gate, -jnp.inf, boosted)
+        logits = logits.at[:, img0].set(img_col)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    # -- jitted programs ---------------------------------------------------
+
+    @functools.cached_property
+    def _prefill_fn(self):
+        cfg, nt, img0 = self.cfg, self.nt, self.img0
+
+        @functools.partial(jax.jit, static_argnames=("plen", "nreq"),
+                           donate_argnums=(1, 2))
+        def prefill(params, cache, state, tap_state, embs, true_len,
+                    slot_ids, nw, mw, scale, *, plen, nreq):
+            del plen, nreq
+            small = opt_mod.init_cache(cfg, embs.shape[0], embs.shape[1],
+                                       dtype=cache["k"].dtype)
+            out = opt_mod.forward(params, cfg, embs, cache=small,
+                                  cache_pos=0, unroll_layers=False,
+                                  skip_logits=True)
+            h_last = jnp.take_along_axis(
+                out["last_hidden"], true_len[:, None, None] - 1,
+                axis=1)[:, 0]                                  # (R, E)
+            head = params["embed_tokens"]["weight"]
+            logits0 = jax.lax.dot_general(
+                h_last, head.astype(h_last.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            first = self._pick(logits0, jnp.zeros_like(true_len), mw, scale)
+            trigger = first == img0
+            force0 = jnp.where(trigger, nt - 1, 0).astype(jnp.int32)
+
+            new_cache = {}
+            for key in cache:
+                rows = out["cache"][key]
+                new_cache[key] = cache[key].at[
+                    :, slot_ids, :rows.shape[2]].set(
+                    rows.astype(cache[key].dtype), mode="drop")
+            sid = slot_ids
+            state = {
+                "pos": state["pos"].at[sid].set(true_len, mode="drop"),
+                "tok": state["tok"].at[sid].set(first, mode="drop"),
+                "iter": state["iter"].at[sid].set(1, mode="drop"),
+                "force": state["force"].at[sid].set(force0, mode="drop"),
+                "valid": state["valid"].at[sid].set(True, mode="drop"),
+                "nw": state["nw"].at[sid].set(nw, mode="drop"),
+                "mw": state["mw"].at[sid].set(mw, mode="drop"),
+                "scale": state["scale"].at[sid].set(scale, mode="drop"),
+            }
+            # reset the tap rows for refilled slots
+            zt = jnp.zeros((sid.shape[0], nt, tap_state["tap"].shape[-1]),
+                           tap_state["tap"].dtype)
+            tap_state = {
+                "tap": tap_state["tap"].at[sid].set(zt, mode="drop"),
+                "tapw": tap_state["tapw"].at[sid].set(
+                    jnp.zeros((sid.shape[0], nt), bool), mode="drop"),
+            }
+            return new_cache, state, tap_state
+
+        return prefill
+
+    @functools.cached_property
+    def _chunk_fn(self):
+        cfg, nt, img0 = self.cfg, self.nt, self.img0
+        pad_id, max_seq = self.pad_id, self.max_seq
+        steps, unroll = self.chunk, self.unroll
+        final_tap, tap_layer = self.final_tap, self.tap_layer
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def run_chunk(params, cache, state, tap_state):
+            head = params["embed_tokens"]["weight"]
+            B = state["tok"].shape[0]
+            rows = jnp.arange(B)
+
+            def step(carry, _):
+                cache, pos, tok, iter_c, force, valid, tap, tapw = carry
+                emb = opt_mod.embed_tokens(params, tok[:, None])
+                out = opt_mod.forward(params, cfg, emb, cache=cache,
+                                      cache_pos=pos, lm_head=head,
+                                      collect_hidden=not final_tap,
+                                      unroll_layers=unroll)
+                if final_tap:
+                    hidden = out["last_hidden"][:, 0]
+                else:
+                    hidden = out["hidden_states"][tap_layer][:, 0]
+                # first-run [IMG] tap capture for the fed token
+                idx = tok - img0
+                ci = jnp.clip(idx, 0, nt - 1)
+                hit = (idx >= 0) & (idx < nt) & valid & ~tapw[rows, ci]
+                cur = tap[rows, ci]
+                tap = tap.at[rows, ci].set(
+                    jnp.where(hit[:, None], hidden.astype(tap.dtype), cur))
+                tapw = tapw.at[rows, ci].set(tapw[rows, ci] | hit)
+
+                logits = out["logits"][:, -1]
+                sampled = self._pick(logits, iter_c, carry_mw, carry_scale)
+                forced_tok = (img0 + (nt - force)).astype(jnp.int32)
+                nxt = jnp.where(force > 0, forced_tok, sampled)
+                done = (force == 0) & (iter_c >= carry_nw)
+                nxt = jnp.where(done, pad_id, nxt)
+                trigger = (force == 0) & (nxt == img0) & (~done)
+                new_force = jnp.where(force > 0, force - 1,
+                                      jnp.where(trigger, nt - 1, 0))
+                new_iter = jnp.where(force > 0, iter_c, iter_c + 1)
+                new_valid = ~done
+                pos = jnp.minimum(pos + 1, max_seq - 1)
+                return ((out["cache"], pos, nxt, new_iter, new_force,
+                         new_valid, tap, tapw), (nxt, new_valid))
+
+            carry_nw = state["nw"]
+            carry_mw = state["mw"]
+            carry_scale = state["scale"]
+            entry_tok, entry_valid = state["tok"], state["valid"]
+            (cache, pos, tok, iter_c, force, valid, tap, tapw), \
+                (toks, valids) = jax.lax.scan(
+                    step,
+                    (cache, state["pos"], state["tok"], state["iter"],
+                     state["force"], state["valid"], tap_state["tap"],
+                     tap_state["tapw"]),
+                    None, length=steps)
+            toks = jnp.concatenate([entry_tok[None], toks], axis=0)
+            valids = jnp.concatenate([entry_valid[None], valids], axis=0)
+            state = {"pos": pos, "tok": tok, "iter": iter_c, "force": force,
+                     "valid": valid, "nw": carry_nw, "mw": carry_mw,
+                     "scale": carry_scale}
+            return cache, state, {"tap": tap, "tapw": tapw}, toks, valids
+
+        return run_chunk
+
+    # -- scheduler ---------------------------------------------------------
+
+    def _refill(self, queue: List[GillServeRequest]):
+        wave = []
+        for s in range(self.slots):
+            if self._state[s] is not None or not queue:
+                continue
+            req = queue.pop(0)
+            plen = req.embs.shape[0]
+            budget = req.num_words + (self.nt - 1) * req.max_img_runs
+            if plen + budget + 1 > self.max_seq:
+                raise ValueError(
+                    f"request {req.uid}: {plen}+{budget}+1 exceeds max_seq "
+                    f"{self.max_seq}")
+            wave.append((s, req, budget))
+        if not wave:
+            return
+        pb = max(_bucket(req.embs.shape[0], self.buckets)
+                 for _, req, _ in wave)
+        nreq = self._rbucket(len(wave))
+        embs = np.zeros((nreq, pb, self.emb_dim), np.float32)
+        lens = np.ones((nreq,), np.int32)
+        slot_ids = np.full((nreq,), self.slots, np.int32)
+        nw = np.ones((nreq,), np.int32)
+        mw = np.zeros((nreq,), np.int32)
+        scale = np.ones((nreq,), np.float32)
+        for i, (s, req, _) in enumerate(wave):
+            embs[i, : req.embs.shape[0]] = np.asarray(req.embs, np.float32)
+            lens[i] = req.embs.shape[0]
+            slot_ids[i] = s
+            nw[i] = req.num_words
+            mw[i] = req.min_word_tokens
+            scale[i] = req.img_scale
+        self.cache, self._dstate, self._dtap = self._prefill_fn(
+            self.params, self.cache, self._dstate, self._dtap,
+            jnp.asarray(embs, self.cache["k"].dtype
+                        if self.cache["k"].dtype != jnp.int8
+                        else jnp.bfloat16),
+            jnp.asarray(lens), jnp.asarray(slot_ids), jnp.asarray(nw),
+            jnp.asarray(mw), jnp.asarray(scale), plen=pb, nreq=nreq)
+        self.stats["prefills"] += 1
+        self.stats["prefill_reqs"] += len(wave)
+        for s, req, budget in wave:
+            self._state[s] = _GSlot(uid=req.uid, budget=budget, nt=self.nt)
+
+    def _collect_block(self, block, results):
+        toks, valids, tap, snap = block
+        arr = np.asarray(toks)
+        var = np.asarray(valids)
+        tap_host = None
+        for s, (st, was_fresh) in snap.items():
+            if st.done:
+                continue
+            lo = 0 if was_fresh else 1
+            for r in range(lo, arr.shape[0]):
+                # exactly `budget` tokens, like GILLCore's fixed-length scan
+                # (a request that keeps triggering [IMG] runs is truncated
+                # mid-run there too — reference semantics)
+                if len(st.generated) >= st.budget:
+                    break
+                st.generated.append(int(arr[r, s]))
+                st.valid.append(bool(var[r, s]))
+            if len(st.generated) >= st.budget:
+                if tap_host is None:
+                    tap_host = np.asarray(tap)
+                v = np.asarray(st.valid, bool)
+                toks_v = np.asarray(st.generated, np.int32)
+                # valid is a monotone prefix (done latches)
+                n_valid = int(v.cumprod().sum())
+                toks_v = toks_v[:n_valid]
+                st.done = True
+                results[st.uid] = {"tokens": toks_v.tolist(),
+                                   "img_hidden": tap_host[s].copy()}
+                self.stats["tokens_out"] += len(toks_v)
+
+    def run(self, requests: List[GillServeRequest], *, depth: int = 2
+            ) -> Dict[int, dict]:
+        """Serve all requests (pipelined scheduler — GILL decode is
+        closed-budget). Returns uid -> {"tokens": [ids] (valid prefix,
+        reference-semantics), "img_hidden": (num_tokens, E) np.ndarray —
+        the hidden states of the FIRST [IMG0..n) run (api selects runs
+        from tokens; rows are zero when no run was emitted)}."""
+        queue = list(requests)
+        results: Dict[int, dict] = {}
+        pending = deque()
+        self._dstate, self._dtap = self._fresh_state()
+        self._state = [None] * self.slots
+        while True:
+            for s in range(self.slots):
+                st = self._state[s]
+                if st is not None and st.planned >= st.budget:
+                    self._state[s] = None
+            self._refill(queue)
+            active = [s for s in range(self.slots)
+                      if self._state[s] is not None]
+            if not active and not pending:
+                break
+            if active:
+                (self.cache, self._dstate, self._dtap, toks,
+                 valids) = self._chunk_fn(self.params, self.cache,
+                                          self._dstate, self._dtap)
+                self.stats["chunks"] += 1
+                self.stats["decode_steps"] += self.chunk
+                snap = {}
+                for s in active:
+                    st = self._state[s]
+                    snap[s] = (st, st.fresh)
+                    st.planned += self.chunk   # fed steps (no entry bonus)
+                    st.fresh = False
+                pending.append((toks, valids, self._dtap["tap"], snap))
+            while len(pending) > depth or (not active and pending):
+                self._collect_block(pending.popleft(), results)
+        while pending:
+            self._collect_block(pending.popleft(), results)
+        return results

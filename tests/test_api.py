@@ -106,6 +106,44 @@ def test_img_triggered_generation_structure(gill):
     assert gimg.size == (16, 16)
 
 
+def test_batch_serving_matches_sequential(gill):
+    """generate_for_images_and_texts_batch (continuous-batching GILL
+    engine) must reproduce the sequential API outputs for a mixed batch:
+    text-only, [IMG]-boosted, and image-conditioned prompts."""
+    batch = [
+        [_img(), "Q: what is this?\nA:"],
+        ["a photo of"],
+        ["tell me a story about"],
+    ]
+    kw = dict(num_words=3, gen_scale_factor=1e6, num_inference_steps=2)
+    seq = [gill.generate_for_images_and_texts(p, **kw) for p in batch]
+    got = gill.generate_for_images_and_texts_batch(
+        batch, slots=2, chunk=3, **kw)
+
+    assert len(got) == len(seq)
+    for g, s in zip(got, seq):
+        assert len(g) == len(s)
+        for gi, si in zip(g, s):
+            if isinstance(si, str):
+                assert gi == si
+            else:
+                assert set(gi.keys()) == set(si.keys())
+                assert gi["decision"][0] == si["decision"][0]
+                np.testing.assert_allclose(gi["decision"][1],
+                                           si["decision"][1], atol=1e-3)
+                assert len(gi["ret"]) == len(si["ret"])
+                for (ri, rt, rs), (qi, qt, qs) in zip(gi["ret"], si["ret"]):
+                    assert rt == qt
+                    assert abs(rs - qs) < 1e-3
+                    np.testing.assert_array_equal(np.asarray(ri),
+                                                  np.asarray(qi))
+                for (ri, rs), (qi, qs) in zip(gi["gen"], si["gen"]):
+                    assert abs(rs - qs) < 1e-2
+                    np.testing.assert_allclose(np.asarray(ri, np.float32),
+                                               np.asarray(qi, np.float32),
+                                               atol=2.0)
+
+
 def test_no_retrieval_defaults_to_gen(gill):
     g2 = GILL(gill.core, gill.params, gill.tokenizer, sd_pipe=gill.sd_pipe,
               retrieval_index=None, decision_params=None)

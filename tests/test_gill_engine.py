@@ -1,0 +1,106 @@
+"""GILL serving engine (gill_tpu/serve/gill_engine.py): slot-pooled
+continuous batching of the FULL GILL decode must be invisible — tokens and
+[IMG]-run hidden states identical to GILLCore.generate (the reference
+semantics path, gill/models.py:443-532) for every request, regardless of
+how requests pack into slots or chunks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gill_tpu.serve.gill_engine import GillDecodeEngine, GillServeRequest
+
+from test_gill_forward import make_core, IMG_START, NUM_TOKENS
+
+
+@pytest.fixture(scope="module")
+def core_params():
+    core = make_core()
+    params = core.init_params(jax.random.PRNGKey(3))
+    return core, params
+
+
+def _core_generate(core, params, embs, nw, mw=0, scale=1.0, runs=1):
+    out = core.generate(params, embs[None], num_words=nw,
+                        min_word_tokens=mw, ret_scale_factor=scale,
+                        max_img_runs=runs, temperature=0.0,
+                        unroll_layers=False)
+    toks = np.asarray(out["tokens"][0])
+    val = np.asarray(out["valid"][0])
+    hid = np.asarray(out["hidden"][0])
+    return toks[val].tolist(), hid
+
+
+def _mk_embs(rng, p, dim):
+    return rng.randn(p, dim).astype(np.float32) * 0.02
+
+
+def _first_run(tokens, nt):
+    for i in range(len(tokens) - nt + 1):
+        if tokens[i: i + nt] == list(range(IMG_START, IMG_START + nt)):
+            return i
+    return None
+
+
+def test_gill_engine_matches_core_generate(core_params):
+    core, params = core_params
+    nt = NUM_TOKENS
+    rng = np.random.RandomState(0)
+    # mixed workload: plain text, [IMG]-boosted, min-word-gated
+    cases = []
+    for uid in range(7):
+        embs = _mk_embs(rng, int(rng.randint(3, 14)), core.lm_dim)
+        nw = int(rng.randint(2, 9))
+        mw = int(rng.randint(0, 3)) if uid % 2 else 0
+        scale = 100.0 if uid % 3 == 0 else 1.0
+        cases.append((uid, embs, nw, mw, scale))
+
+    eng = GillDecodeEngine(core, params, slots=3, max_seq=64, chunk=3,
+                           prefill_buckets=(8, 16), unroll_layers=False,
+                           kv_dtype=jnp.float32)
+    results = eng.run([GillServeRequest(uid=u, embs=e, num_words=nw,
+                                        min_word_tokens=mw, img_scale=sc)
+                       for u, e, nw, mw, sc in cases])
+    assert set(results) == {u for u, *_ in cases}
+
+    any_img = False
+    for u, embs, nw, mw, sc in cases:
+        ref_toks, ref_hid = _core_generate(core, params, embs, nw, mw, sc)
+        got = results[u]
+        assert got["tokens"] == ref_toks, f"uid {u}"
+        i = _first_run(ref_toks, nt)
+        if i is not None:
+            any_img = True
+            np.testing.assert_allclose(
+                got["img_hidden"], ref_hid[i: i + nt], atol=2e-4,
+                err_msg=f"uid {u}")
+    assert any_img, "test must exercise at least one [IMG] run"
+
+
+def test_gill_engine_min_word_gate_blocks_early_img(core_params):
+    """With a huge [IMG0] boost but min_word_tokens > 0, the run must not
+    start before the gate lifts (reference models.py:484-489)."""
+    core, params = core_params
+    rng = np.random.RandomState(1)
+    embs = _mk_embs(rng, 5, core.lm_dim)
+    eng = GillDecodeEngine(core, params, slots=2, max_seq=64, chunk=4,
+                           prefill_buckets=(8,), unroll_layers=False,
+                           kv_dtype=jnp.float32)
+    out = eng.run([GillServeRequest(uid=0, embs=embs, num_words=6,
+                                    min_word_tokens=3, img_scale=1e6)])
+    toks = out[0]["tokens"]
+    ref, _ = _core_generate(core, params, embs, 6, 3, 1e6)
+    assert toks == ref
+    i = _first_run(toks, NUM_TOKENS)
+    assert i is not None and i >= 3
+
+
+def test_gill_engine_rejects_oversized_request(core_params):
+    core, params = core_params
+    eng = GillDecodeEngine(core, params, slots=2, max_seq=32, chunk=4,
+                           prefill_buckets=(8, 16, 32),
+                           unroll_layers=False, kv_dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        eng.run([GillServeRequest(
+            uid=0, embs=np.zeros((20, core.lm_dim), np.float32),
+            num_words=20)])

@@ -306,6 +306,109 @@ def bench_serve(model, slots, n_requests=48, seed=7):
     return cont_tps, wave_tps
 
 
+def bench_gill_serve(model, slots, n_requests=48, seed=13):
+    """Continuous batching of the FULL GILL decode (serve/gill_engine.py:
+    per-slot [IMG] ban/gate/boost/force-commit + hidden-tap capture) vs the
+    reference-style serving counterfactual: one request per decode program
+    (our own KV-scan GILLCore.generate at batch 1 — already far faster than
+    the reference's full-reforward loop). A quarter of the requests carry a
+    large [IMG0] boost so the forced-commit/tap machinery runs hot.
+
+    Baseline rate is measured on a 6-request sample (2 per prompt bucket)
+    — sequential serving compiles one program per (bucket, num_words), so
+    the full 48-trace would mostly measure compile time; engine num_words
+    is DATA (no recompile per request length)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gill_tpu.config import (CLIPVisionConfig, GILLConfig, OPTConfig)
+    from gill_tpu.models import opt as opt_mod
+    from gill_tpu.models.gill import GILLCore
+    from gill_tpu.serve.gill_engine import GillDecodeEngine, GillServeRequest
+
+    opt_cfg = OPTConfig.from_name(model)
+    nt = 8
+    cfg = GILLConfig(opt_version=model, num_tokens=nt)
+    vis_cfg = CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                               num_layers=2, num_heads=2, image_size=32,
+                               patch_size=16)
+    core = GILLCore(cfg=cfg, opt_cfg=opt_cfg, vis_cfg=vis_cfg,
+                    vocab_len=opt_cfg.vocab_size + nt + 1,
+                    img_start=opt_cfg.vocab_size + 1,
+                    pad_token_id=1, bos_token_id=2)
+    w8 = os.environ.get("GILL_BENCH_W8", "0") == "1"
+
+    def make_params():
+        lm = opt_mod.init_dummy(opt_cfg, jnp.bfloat16)
+        lm = opt_mod.resize_embeddings(lm, core.vocab_len)
+        if w8:
+            lm = opt_mod.quantize_params_w8(lm)
+        img = jnp.zeros((nt, opt_cfg.word_embed_proj_dim), jnp.bfloat16)
+        return {"lm": lm, "adapters": {"img_embeddings": img}}
+
+    params = jax.jit(make_params)()
+    E = opt_cfg.word_embed_proj_dim
+
+    rng = np.random.RandomState(seed)
+    NWS = (32, 64, 128, 192)     # small set: the BASELINE compiles per value
+
+    bf16 = np.dtype(jnp.bfloat16)
+
+    def trace(n):
+        reqs = []
+        for i in range(n):
+            p = int(rng.randint(16, 241))
+            reqs.append(GillServeRequest(
+                uid=i,
+                embs=(rng.randn(p, E).astype(np.float32) * 0.02
+                      ).astype(bf16),
+                num_words=int(NWS[rng.randint(len(NWS))]),
+                img_scale=1e4 if i % 4 == 0 else 1.0))
+        return reqs
+
+    reqs = trace(n_requests)
+
+    eng = GillDecodeEngine(core, params, slots=slots, max_seq=512,
+                           chunk=int(os.environ.get("GILL_BENCH_CHUNK",
+                                                    "32")),
+                           prefill_buckets=(64, 128, 256))
+    # warm every (bucket, wave) prefill + the chunk program + scheduler path
+    eng.warmup()
+    eng.run([GillServeRequest(uid=j, embs=np.zeros((p, E), np.float32),
+                              num_words=4)
+             for j, p in enumerate((20, 100, 200))])
+
+    import time as _t
+
+    t0 = _t.perf_counter()
+    out = eng.run(list(reqs))
+    dt = _t.perf_counter() - t0
+    n_tok = sum(len(v["tokens"]) for v in out.values())
+    eng_tps = n_tok / dt
+
+    # sequential baseline sample: 2 requests per prompt bucket
+    sample = []
+    for pb in (60, 120, 230):
+        for nw in (64, 192):
+            sample.append(GillServeRequest(
+                uid=0, embs=rng.randn(pb, E).astype(np.float32) * 0.02,
+                num_words=nw))
+    seq_tok = seq_time = 0.0
+    for r in sample:   # compile pass
+        core.generate(params, jnp.asarray(r.embs[None], jnp.bfloat16),
+                      num_words=r.num_words, temperature=0.0)
+    for r in sample:
+        t0 = _t.perf_counter()
+        o = core.generate(params, jnp.asarray(r.embs[None], jnp.bfloat16),
+                          num_words=r.num_words, temperature=0.0)
+        jax.block_until_ready(o["tokens"])
+        seq_time += _t.perf_counter() - t0
+        seq_tok += int(np.asarray(o["valid"][0]).sum())
+    seq_tps = seq_tok / seq_time
+    return eng_tps, seq_tps
+
+
 def bench_sd_decode(batch: int, steps: int = 50, size: int = 512,
                     quantize: bool = False, sampler: str = "pndm"):
     """SD v1.5 512^2 CFG denoise throughput (img/s/chip). Weights are zeros
@@ -424,6 +527,10 @@ _MATRIX_RUNS = [
     ("serve_w8_s32", {"GILL_BENCH": "serve", "GILL_BENCH_W8": "1",
                       "GILL_BENCH_SLOTS": "32",
                       "GILL_BENCH_NREQ": "192"}, 420),
+    # Full-GILL-decode serving ([IMG] surgery + hidden taps in the chunk
+    # program); baseline = one-request-at-a-time GILLCore.generate.
+    ("gill_serve_w8", {"GILL_BENCH": "gill_serve",
+                       "GILL_BENCH_W8": "1"}, 700),
     # opt-6.7b: the reference's actual LM (gill/models.py:56-73). bf16
     # weights alone are 13.4GB, so the feasible single-chip serving config
     # is W8A16 (+ optionally int8 KV) at batch 8; the 2.7b entries above are
@@ -625,6 +732,23 @@ def main():
             # reference serves requests one at a time (demo queue
             # concurrency 1) and is orders of magnitude off this scale.
             "vs_baseline": round(cont / wave, 3),
+        }))
+        return
+    if mode == "gill_serve":
+        model = os.environ.get("GILL_BENCH_MODEL", "facebook/opt-2.7b")
+        slots = int(os.environ.get("GILL_BENCH_SLOTS", "16"))
+        eng_tps, seq_tps = bench_gill_serve(model, slots)
+        suffix = "_w8" if os.environ.get("GILL_BENCH_W8", "0") == "1" else ""
+        print(json.dumps({
+            "metric": (f"{model.split('/')[-1]}_gill_serve_tokens_per_sec_"
+                       f"per_chip{suffix}"),
+            "value": round(eng_tps, 2),
+            "unit": "tokens/s/chip",
+            # baseline = one-request-at-a-time GILL decode (our own
+            # KV-scan generate at batch 1 — the reference DEMO's serving
+            # discipline, demo/app_gradio.py queue concurrency 1, run on
+            # our fast path rather than the reference's quadratic loop).
+            "vs_baseline": round(eng_tps / seq_tps, 3),
         }))
         return
     if mode in ("sd", "sd_int8", "sd_dpm"):

@@ -325,11 +325,16 @@ class GILL:
 
         rng = generator if generator is not None else jax.random.PRNGKey(0)
         scale = (max(ret_scale_factor, 1.0) * max(gen_scale_factor, 1.0))
+        # bf16 request embeddings on TPU: the engine's refill copies them
+        # straight into the device-dtype wave buffer (a float32 staging
+        # buffer costs a host-side conversion per wave).
+        emb_dt = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                  else jnp.float32)
         reqs = []
         for uid, prompts in enumerate(prompts_batch):
             embs, _ = self._encode_prompts(prompts, always_add_bos)
             reqs.append(GillServeRequest(
-                uid=uid, embs=np.asarray(embs[0], np.float32),
+                uid=uid, embs=np.asarray(jnp.asarray(embs[0], emb_dt)),
                 num_words=num_words, min_word_tokens=min_word_tokens,
                 img_scale=scale))
 
@@ -361,6 +366,66 @@ class GILL:
                 tokens, lambda i, h=img_hidden: h, 1, rng,
                 guidance_scale, num_inference_steps))
         return outputs
+
+    # -- online (streaming) serving --------------------------------------------
+
+    def get_online_engine(self, slots: int = 4, chunk: int = 8,
+                          max_seq: int = 512):
+        """Lazily build the thread-owned online GILL serving engine
+        (serve/online.py GillOnlineEngine over serve/gill_engine.py)."""
+        from gill_tpu.serve.gill_engine import GillDecodeEngine
+        from gill_tpu.serve.online import GillOnlineEngine
+
+        key = (slots, chunk, max_seq)
+        cache = getattr(self, "_online_engines", None)
+        if cache is None:
+            cache = {}
+            self._online_engines = cache
+        online = cache.get(key)
+        if online is None:
+            kv_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                        else jnp.float32)
+            eng = GillDecodeEngine(self.core, self.params, slots=slots,
+                                   max_seq=max_seq, chunk=chunk,
+                                   kv_dtype=kv_dtype)
+            online = GillOnlineEngine(eng)
+            cache[key] = online
+        return online
+
+    def generate_async(self, prompts: List, num_words: int = 32,
+                       min_word_tokens: int = 0,
+                       ret_scale_factor: float = 1.0,
+                       gen_scale_factor: float = 1.0,
+                       always_add_bos: bool = False, *, slots: int = 4,
+                       chunk: int = 8, max_seq: int = 512):
+        """Submit one interleaved prompt to the online serving engine;
+        returns a GillRequestHandle whose .tokens stream in (valid prefix)
+        and whose .result() blocks until completion. Concurrent callers
+        share the slot pool (continuous batching). Finish with
+        finalize_async() to get the generate_for_images_and_texts-shaped
+        outputs."""
+        embs, _ = self._encode_prompts(prompts, always_add_bos)
+        online = self.get_online_engine(slots=slots, chunk=chunk,
+                                        max_seq=max_seq)
+        emb_dt = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                  else jnp.float32)
+        scale = max(ret_scale_factor, 1.0) * max(gen_scale_factor, 1.0)
+        return online.submit(np.asarray(jnp.asarray(embs[0], emb_dt)),
+                             num_words, min_word_tokens=min_word_tokens,
+                             img_scale=scale)
+
+    def finalize_async(self, handle, generator=None,
+                       guidance_scale: float = 7.5,
+                       num_inference_steps: int = 50):
+        """Wait for an async request and run the retrieval / decision / SD
+        post-processing — same output structure as
+        generate_for_images_and_texts (max_num_rets=1)."""
+        tokens = np.asarray(handle.result(), np.int32)
+        rng = generator if generator is not None else jax.random.PRNGKey(0)
+        img_hidden = jnp.asarray(handle.img_hidden)[None]
+        return self._postprocess_generation(
+            tokens, lambda i, h=img_hidden: h, 1, rng, guidance_scale,
+            num_inference_steps)
 
     @staticmethod
     def _to_pil(arr) -> List[Image.Image]:

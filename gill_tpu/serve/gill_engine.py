@@ -72,7 +72,7 @@ class GillDecodeEngine:
     def __init__(self, core, params, *, slots: int = 8, max_seq: int = 512,
                  chunk: int = 16, prefill_buckets=(64, 128, 256),
                  unroll_layers: Optional[bool] = None,
-                 kv_dtype=jnp.bfloat16):
+                 kv_dtype=jnp.bfloat16, mesh=None):
         self.core = core
         self.cfg = core.opt_cfg
         self.nt = core.cfg.num_tokens
@@ -97,6 +97,26 @@ class GillDecodeEngine:
         self.emb_dim = int(lm["embed_tokens"]["weight"].shape[1])
         self.cache = opt_mod.init_cache(self.cfg, slots, max_seq,
                                         dtype=kv_dtype)
+        self.mesh = mesh
+        if mesh is not None:
+            # Megatron-TP serving of the flagship decode: LM matrices shard
+            # over "model", the KV pool by heads; the [IMG]-merged embed
+            # table, tap buffers and scheduler state replicate. bf16 only
+            # (the Pallas W8 kernel is a single-chip path).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from gill_tpu.parallel.partition import param_shardings
+
+            assert not any(
+                isinstance(leaf, dict) and "w8" in leaf
+                for leaf in jax.tree_util.tree_leaves(
+                    self.params, is_leaf=lambda x: isinstance(x, dict))), \
+                "mesh mode requires bf16 params (w8 kernel is single-chip)"
+            self.params = jax.device_put(self.params,
+                                         param_shardings(mesh, self.params))
+            cache_sh = NamedSharding(mesh, P(None, None, None, "model",
+                                             None))
+            self.cache = jax.device_put(self.cache, cache_sh)
         self._dstate = None
         self._dtap = None
         self._state: List[Optional[_GSlot]] = [None] * slots
@@ -104,6 +124,13 @@ class GillDecodeEngine:
                       "decode_steps": 0, "tokens_out": 0}
 
     # -- state ------------------------------------------------------------
+
+    def _ctx(self):
+        if self.mesh is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        return jax.sharding.set_mesh(self.mesh)
 
     def _fresh_state(self):
         B = self.slots
@@ -119,10 +146,39 @@ class GillDecodeEngine:
                  "tapw": jnp.zeros((B, self.nt), bool)})
 
     def _rbucket(self, n: int) -> int:
+        # powers of TWO (the plain-LM engine uses powers of four): gill
+        # prefill waves carry (R, P, E) embedding payloads, so request-row
+        # padding costs real host->device bandwidth, not just compute
         r = 1
         while r < n:
-            r = min(r * 4, self.slots)
+            r = min(r * 2, self.slots)
         return r
+
+    def warmup(self):
+        """Compile every (prompt bucket, wave size) prefill variant and the
+        chunk program via out-of-range scatters (state-inert, like the
+        plain-LM engine's warmup)."""
+        with self._ctx():
+            if self._dstate is None:
+                self._dstate, self._dtap = self._fresh_state()
+            rbs = sorted({self._rbucket(n)
+                          for n in range(1, self.slots + 1)})
+            tgt = self.cache["k"].dtype
+            if tgt == jnp.int8:
+                tgt = jnp.bfloat16
+            for pb in self.buckets:
+                for nreq in rbs:
+                    z = jnp.zeros((nreq, pb, self.emb_dim), tgt)
+                    i32 = jnp.ones((nreq,), jnp.int32)
+                    self.cache, self._dstate, self._dtap = self._prefill_fn(
+                        self.params, self.cache, self._dstate, self._dtap,
+                        z, i32, jnp.full((nreq,), self.slots, jnp.int32),
+                        i32, jnp.zeros((nreq,), jnp.int32),
+                        jnp.ones((nreq,), jnp.float32), plen=pb, nreq=nreq)
+            out = self._chunk_fn(self.params, self.cache, self._dstate,
+                                 self._dtap)
+            self.cache, self._dstate, self._dtap = out[0], out[1], out[2]
+            jax.block_until_ready(out[3])
 
     # -- logit surgery (reference models.py:476-489), vectorized per slot --
 
@@ -283,14 +339,21 @@ class GillDecodeEngine:
         pb = max(_bucket(req.embs.shape[0], self.buckets)
                  for _, req, _ in wave)
         nreq = self._rbucket(len(wave))
-        embs = np.zeros((nreq, pb, self.emb_dim), np.float32)
+        # Build the wave buffer directly in the device dtype: a float32
+        # staging buffer cost ~280 ms/wave of HOST-side bf16 conversion on
+        # a thin frontend (measured, scripts/profile_gill_serve.py) — a
+        # request whose embs already arrive as bfloat16 copies straight in.
+        tgt = self.cache["k"].dtype
+        if tgt == jnp.int8:
+            tgt = jnp.bfloat16
+        embs = np.zeros((nreq, pb, self.emb_dim), np.dtype(tgt))
         lens = np.ones((nreq,), np.int32)
         slot_ids = np.full((nreq,), self.slots, np.int32)
         nw = np.ones((nreq,), np.int32)
         mw = np.zeros((nreq,), np.int32)
         scale = np.ones((nreq,), np.float32)
         for i, (s, req, _) in enumerate(wave):
-            embs[i, : req.embs.shape[0]] = np.asarray(req.embs, np.float32)
+            embs[i, : req.embs.shape[0]] = req.embs
             lens[i] = req.embs.shape[0]
             slot_ids[i] = s
             nw[i] = req.num_words
@@ -298,9 +361,7 @@ class GillDecodeEngine:
             scale[i] = req.img_scale
         self.cache, self._dstate, self._dtap = self._prefill_fn(
             self.params, self.cache, self._dstate, self._dtap,
-            jnp.asarray(embs, self.cache["k"].dtype
-                        if self.cache["k"].dtype != jnp.int8
-                        else jnp.bfloat16),
+            jnp.asarray(embs),
             jnp.asarray(lens), jnp.asarray(slot_ids), jnp.asarray(nw),
             jnp.asarray(mw), jnp.asarray(scale), plen=pb, nreq=nreq)
         self.stats["prefills"] += 1
@@ -348,6 +409,10 @@ class GillDecodeEngine:
         queue = list(requests)
         results: Dict[int, dict] = {}
         pending = deque()
+        with self._ctx():
+            return self._run_inner(queue, results, pending, depth)
+
+    def _run_inner(self, queue, results, pending, depth):
         self._dstate, self._dtap = self._fresh_state()
         self._state = [None] * self.slots
         while True:

@@ -26,10 +26,46 @@ from typing import Optional
 from gill_tpu.serve.online import OnlineEngine
 
 
-def make_server(online: OnlineEngine, tokenizer=None,
-                host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+def _b64_png(img) -> str:
+    import base64
+    import io
+
+    buf = io.BytesIO()
+    img.save(buf, "PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _serialize_gill_outputs(outs):
+    """generate_for_images_and_texts output -> JSON-safe structure (PIL
+    images as base64 PNG, numpy scalars as floats)."""
+    ser = []
+    for o in outs:
+        if isinstance(o, str):
+            ser.append(o)
+            continue
+        d = {"decision": o.get("decision"),
+             "ret": [{"image_b64": _b64_png(img), "score": float(s)}
+                     for img, _, s in o.get("ret", [])],
+             "gen": []}
+        for g in o.get("gen", []):
+            if isinstance(g, tuple):
+                d["gen"].append({"image_b64": _b64_png(g[0]),
+                                 "score": float(g[1])})
+        ser.append(d)
+    return ser
+
+
+def make_server(online: Optional[OnlineEngine] = None, tokenizer=None,
+                host: str = "127.0.0.1", port: int = 0,
+                gill=None) -> ThreadingHTTPServer:
     """Build (not start) the server; port 0 picks a free port
-    (server_address[1] after construction). Run with serve_forever()."""
+    (server_address[1] after construction). Run with serve_forever().
+
+    online: plain-LM continuous-batching backend for /v1/generate.
+    gill:   an api.GILL model enabling /v1/gill — the FULL multimodal
+            pipeline (interleaved text+image prompts, [IMG]-routed
+            retrieval / decision / SD generation) over the online GILL
+            engine; concurrent requests share its slot pool."""
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -49,17 +85,70 @@ def make_server(online: OnlineEngine, tokenizer=None,
             if self.path == "/healthz":
                 self._json(200, {"ok": True})
             elif self.path == "/stats":
-                self._json(200, dict(online.eng.stats))
+                stats = {}
+                if online is not None:
+                    stats["lm"] = dict(online.eng.stats)
+                if gill is not None and getattr(gill, "_online_engines",
+                                                None):
+                    stats["gill"] = {
+                        str(k): dict(v.eng.stats)
+                        for k, v in gill._online_engines.items()}
+                self._json(200, stats)
             else:
                 self._json(404, {"error": f"no route {self.path}"})
+
+        def _do_gill(self, req):
+            import base64
+            import io
+
+            from PIL import Image as PILImage
+
+            prompts = []
+            for p in req.get("prompts", []):
+                if isinstance(p, str):
+                    prompts.append(p)
+                elif isinstance(p, dict) and "image_b64" in p:
+                    prompts.append(PILImage.open(io.BytesIO(
+                        base64.b64decode(p["image_b64"]))).convert("RGB"))
+                else:
+                    raise ValueError(
+                        "prompts entries must be strings or "
+                        "{'image_b64': ...} objects")
+            if not prompts:
+                raise ValueError("need non-empty 'prompts'")
+            handle = gill.generate_async(
+                prompts, num_words=int(req.get("num_words", 32)),
+                min_word_tokens=int(req.get("min_word_tokens", 0)),
+                ret_scale_factor=float(req.get("ret_scale_factor", 1.0)),
+                gen_scale_factor=float(req.get("gen_scale_factor", 1.0)))
+            outs = gill.finalize_async(
+                handle,
+                guidance_scale=float(req.get("guidance_scale", 7.5)),
+                num_inference_steps=int(req.get("num_inference_steps", 50)))
+            self._json(200, {"outputs": _serialize_gill_outputs(outs)})
 
         def _chunk(self, data: bytes):
             self.wfile.write(f"{len(data):x}\r\n".encode())
             self.wfile.write(data + b"\r\n")
 
         def do_POST(self):
-            if self.path != "/v1/generate":
+            if self.path not in ("/v1/generate", "/v1/gill"):
                 self._json(404, {"error": f"no route {self.path}"})
+                return
+            if self.path == "/v1/gill":
+                if gill is None:
+                    self._json(404, {"error": "no GILL model mounted"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    self._do_gill(req)
+                except (ValueError, KeyError, TypeError,
+                        json.JSONDecodeError) as e:
+                    self._json(400, {"error": str(e)})
+                return
+            if online is None:
+                self._json(404, {"error": "no LM engine mounted"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))

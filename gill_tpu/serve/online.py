@@ -65,6 +65,149 @@ class RequestHandle:
                 return
 
 
+class GillRequestHandle(RequestHandle):
+    """RequestHandle + the first [IMG] run's hidden states, set at
+    completion (the GILLMapper / retrieval-head input)."""
+
+    def __init__(self, uid, prompt_embs, max_new, min_word, img_scale):
+        super().__init__(uid, [], max_new)
+        self.prompt_embs = prompt_embs
+        self.min_word = min_word
+        self.img_scale = img_scale
+        self.img_hidden = None
+
+
+class GillOnlineEngine:
+    """Thread-owning front-end over GillDecodeEngine: asynchronous intake
+    of FULL-GILL decode requests, chunk-boundary refill, per-token
+    streaming of the valid prefix, and [IMG]-run hidden delivery at
+    completion. Same contract as OnlineEngine, different decode semantics
+    (see serve/gill_engine.py)."""
+
+    def __init__(self, engine):
+        self.eng = engine
+        self._q: "queue.Queue[Optional[GillRequestHandle]]" = queue.Queue()
+        self._uid = itertools.count()
+        self._handles = {}
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="gill-serve-scheduler")
+        self._thread.start()
+
+    def submit(self, prompt_embs, num_words: int, *,
+               min_word_tokens: int = 0,
+               img_scale: float = 1.0) -> GillRequestHandle:
+        if self._stop:
+            raise RuntimeError("engine closed")
+        eng = self.eng
+        budget = num_words + (eng.nt - 1)
+        if prompt_embs.shape[0] + budget + 1 > eng.max_seq:
+            raise ValueError(
+                f"{prompt_embs.shape[0]}+{budget}+1 exceeds max_seq "
+                f"{eng.max_seq}")
+        h = GillRequestHandle(next(self._uid), prompt_embs, num_words,
+                              min_word_tokens, img_scale)
+        self._handles[h.uid] = h
+        self._q.put(h)
+        return h
+
+    def close(self):
+        self._stop = True
+        self._q.put(None)
+        self._thread.join()
+
+    def _drain_queue(self, waiting, block: bool):
+        try:
+            item = self._q.get(block=block)
+        except queue.Empty:
+            return
+        while True:
+            if item is not None:
+                waiting.append(item)
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+
+    def _deliver(self, toks, valids, tap_dev):
+        """Fold one chunk's rows into slot states; stream each request's
+        VALID token prefix; finish slots whose budget is collected."""
+        import numpy as np
+
+        eng = self.eng
+        tap_host = None
+        for s in range(eng.slots):
+            st = eng._state[s]
+            if st is None:
+                continue
+            h = self._handles[st.uid]
+            lo = 0 if st.fresh else 1
+            st.fresh = False
+            for r in range(lo, toks.shape[0]):
+                if len(st.generated) >= st.budget:
+                    break
+                st.generated.append(int(toks[r, s]))
+                st.valid.append(bool(valids[r, s]))
+            v = np.asarray(st.valid, bool)
+            n_valid = int(v.cumprod().sum())
+            if n_valid > len(h.tokens):
+                with h.cond:
+                    h.tokens = [int(t) for t in st.generated[:n_valid]]
+                    h.cond.notify_all()
+            if len(st.generated) >= st.budget:
+                if tap_host is None:
+                    tap_host = np.asarray(tap_dev)
+                eng._state[s] = None
+                self._handles.pop(st.uid)
+                eng.stats["tokens_out"] += n_valid
+                with h.cond:
+                    h.tokens = [int(t) for t in st.generated[:n_valid]]
+                    h.img_hidden = tap_host[s].copy()
+                    h.done.set()
+                    h.cond.notify_all()
+
+    def _loop(self):
+        import numpy as np
+
+        from gill_tpu.serve.gill_engine import GillServeRequest
+
+        eng = self.eng
+        with eng._ctx():
+            eng._dstate, eng._dtap = eng._fresh_state()
+            eng._state = [None] * eng.slots
+            waiting = []
+            while True:
+                idle = (not waiting
+                        and all(st is None for st in eng._state))
+                self._drain_queue(waiting, block=idle)
+                if self._stop:
+                    break
+                if waiting:
+                    reqs = [GillServeRequest(
+                        uid=h.uid, embs=h.prompt_embs,
+                        num_words=h.max_new,
+                        min_word_tokens=h.min_word,
+                        img_scale=h.img_scale) for h in waiting]
+                    eng._refill(reqs)
+                    taken = len(waiting) - len(reqs)
+                    waiting = waiting[taken:]
+                if all(st is None for st in eng._state):
+                    continue
+                (eng.cache, eng._dstate, eng._dtap, toks,
+                 valids) = eng._chunk_fn(eng.params, eng.cache,
+                                         eng._dstate, eng._dtap)
+                eng.stats["chunks"] += 1
+                eng.stats["decode_steps"] += eng.chunk
+                self._deliver(np.asarray(toks), np.asarray(valids),
+                              eng._dtap["tap"])
+        for h in list(self._handles.values()):
+            with h.cond:
+                h.error = "engine closed"
+                h.done.set()
+                h.cond.notify_all()
+        self._handles.clear()
+
+
 class OnlineEngine:
     """Thread-owning front-end over DecodeEngine for online serving."""
 

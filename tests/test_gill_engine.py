@@ -95,6 +95,29 @@ def test_gill_engine_min_word_gate_blocks_early_img(core_params):
     assert i is not None and i >= 3
 
 
+def test_gill_engine_tp_mesh_matches_single_device(core_params):
+    """mesh=: Megatron-TP sharded GILL serving produces the same tokens
+    and [IMG]-run hiddens as the single-device engine."""
+    from gill_tpu.parallel import create_mesh
+
+    core, params = core_params
+    rng = np.random.RandomState(5)
+    reqs = [GillServeRequest(
+        uid=i, embs=_mk_embs(rng, int(rng.randint(3, 12)), core.lm_dim),
+        num_words=int(rng.randint(2, 7)),
+        img_scale=100.0 if i % 2 else 1.0) for i in range(5)]
+
+    kw = dict(slots=2, max_seq=64, chunk=3, prefill_buckets=(8, 16),
+              unroll_layers=False, kv_dtype=jnp.float32)
+    single = GillDecodeEngine(core, params, **kw).run(reqs)
+    mesh = create_mesh(dp_size=4, tp_size=2)   # 2 heads -> TP=2
+    sharded = GillDecodeEngine(core, params, mesh=mesh, **kw).run(reqs)
+    for r in reqs:
+        assert single[r.uid]["tokens"] == sharded[r.uid]["tokens"], r.uid
+        np.testing.assert_allclose(single[r.uid]["img_hidden"],
+                                   sharded[r.uid]["img_hidden"], atol=2e-4)
+
+
 def test_gill_engine_rejects_oversized_request(core_params):
     core, params = core_params
     eng = GillDecodeEngine(core, params, slots=2, max_seq=32, chunk=4,

@@ -151,7 +151,7 @@ def test_http_server_end_to_end(tiny):
 
         with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
             stats = json.loads(r.read())
-        assert stats["tokens_out"] >= sum(m for _, m in reqs)
+        assert stats["lm"]["tokens_out"] >= sum(m for _, m in reqs)
     finally:
         srv.shutdown()
         online.close()

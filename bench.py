@@ -531,6 +531,11 @@ _MATRIX_RUNS = [
     # program); baseline = one-request-at-a-time GILLCore.generate.
     ("gill_serve_w8", {"GILL_BENCH": "gill_serve",
                        "GILL_BENCH_W8": "1"}, 700),
+    # ... at the reference's actual LM size (gill/models.py:56-73):
+    # 6.7 GB int8 weights + 4.3 GB KV pool (16x512) on one 16 GB chip.
+    ("gill_serve_67_w8", {"GILL_BENCH": "gill_serve",
+                          "GILL_BENCH_W8": "1",
+                          "GILL_BENCH_MODEL": "facebook/opt-6.7b"}, 900),
     # opt-6.7b: the reference's actual LM (gill/models.py:56-73). bf16
     # weights alone are 13.4GB, so the feasible single-chip serving config
     # is W8A16 (+ optionally int8 KV) at batch 8; the 2.7b entries above are

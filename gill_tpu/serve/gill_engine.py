@@ -34,7 +34,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gill_tpu.config import OPTConfig
 from gill_tpu.models import opt as opt_mod
 from gill_tpu.serve.engine import _bucket
 
@@ -53,7 +52,6 @@ class GillServeRequest:
 class _GSlot:
     uid: int
     budget: int                    # fed decode steps still to cover
-    nt: int
     generated: List[int] = field(default_factory=list)
     valid: List[bool] = field(default_factory=list)
     fresh: bool = True
@@ -367,7 +365,7 @@ class GillDecodeEngine:
         self.stats["prefills"] += 1
         self.stats["prefill_reqs"] += len(wave)
         for s, req, budget in wave:
-            self._state[s] = _GSlot(uid=req.uid, budget=budget, nt=self.nt)
+            self._state[s] = _GSlot(uid=req.uid, budget=budget)
 
     def _collect_block(self, block, results):
         toks, valids, tap, snap = block

@@ -300,16 +300,20 @@ class GILL:
     def generate_for_images_and_texts_batch(
             self, prompts_batch: List[List], num_words: int = 32,
             min_word_tokens: int = 0, ret_scale_factor: float = 1.0,
-            gen_scale_factor: float = 1.0, generator=None,
+            gen_scale_factor: float = 1.0, top_p: float = 1.0,
+            temperature: float = 0.0, generator=None,
             always_add_bos: bool = False, guidance_scale: float = 7.5,
             num_inference_steps: int = 50, slots: int = 8, chunk: int = 16,
             max_seq: Optional[int] = None):
         """Serve MANY interleaved prompts concurrently over the
         continuous-batching GILL engine (serve/gill_engine.py) — same
         per-prompt output structure as generate_for_images_and_texts,
-        returned in input order. Greedy decode (temperature 0, the
-        demo/inference-examples default) and max_num_rets=1 (the engine's
-        device-side tap captures the first [IMG] run).
+        returned in input order. max_num_rets=1 (the engine's device-side
+        tap captures the first [IMG] run). temperature > 0 samples with
+        per-request streams derived from `generator` (request i's stream is
+        independent of slot packing, so results are reproducible across
+        engine configurations — unlike the sequential path's shared
+        stream, so sampled outputs differ from sequential sampled runs).
 
         The reference serves one prompt per full decode loop
         (models.py:582-644); here mixed-length prompts share one slot pool,
@@ -330,19 +334,22 @@ class GILL:
         # buffer costs a host-side conversion per wave).
         emb_dt = (jnp.bfloat16 if jax.default_backend() == "tpu"
                   else jnp.float32)
+        base_seed = int(jax.random.randint(rng, (), 0, 2**31 - 1))
         reqs = []
         for uid, prompts in enumerate(prompts_batch):
             embs, _ = self._encode_prompts(prompts, always_add_bos)
             reqs.append(GillServeRequest(
                 uid=uid, embs=np.asarray(jnp.asarray(embs[0], emb_dt)),
                 num_words=num_words, min_word_tokens=min_word_tokens,
-                img_scale=scale))
+                img_scale=scale, temperature=temperature, top_p=top_p,
+                seed=(base_seed + uid) % (2**31 - 1)))
 
         nt = self.core.cfg.num_tokens
         if max_seq is None:
             longest = max(r.embs.shape[0] for r in reqs)
             max_seq = -(-(longest + num_words + nt) // 64) * 64
-        key = (slots, chunk, max_seq)
+        sampling = temperature > 0
+        key = (slots, chunk, max_seq, sampling)
         cache = getattr(self, "_serve_engines", None)
         if cache is None:
             cache = {}
@@ -353,7 +360,7 @@ class GILL:
                         else jnp.float32)
             eng = GillDecodeEngine(self.core, self.params, slots=slots,
                                    max_seq=max_seq, chunk=chunk,
-                                   kv_dtype=kv_dtype)
+                                   kv_dtype=kv_dtype, sampling=sampling)
             cache[key] = eng
         served = eng.run(reqs)
 

@@ -26,6 +26,29 @@ def top_p_filter(logits, top_p: float):
     return jnp.where(logits < thresh, NEG_INF, logits)
 
 
+def sample_per_row(keys, logits, temperature, top_p):
+    """Per-row sampling for the serving engines: temperature (B,) and
+    top_p (B,) are DATA (each slot carries its request's values), keys is
+    a (B,)-stacked key array (one independent stream per request). Rows
+    with temperature == 0 decode greedily; others follow the reference
+    order (scale by temperature, then nucleus-filter, then draw —
+    gill/models.py:494-515)."""
+    lf = logits.astype(jnp.float32)
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    scaled = lf / t
+    # nucleus filter with per-row p
+    sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) <= top_p[:, None]
+    kth = jnp.maximum(keep.sum(axis=-1) - 1, 0)
+    thresh = jnp.take_along_axis(sorted_logits, kth[..., None], axis=-1)
+    filtered = jnp.where(scaled < thresh, NEG_INF, scaled)
+    drawn = jax.vmap(jax.random.categorical)(keys, filtered)
+    greedy = jnp.argmax(logits, axis=-1)
+    return jnp.where(temperature > 0, drawn, greedy).astype(jnp.int32)
+
+
 def sample(rng, logits, temperature: float, top_p: float):
     """Greedy when temperature == 0; else temperature + nucleus sampling.
 

@@ -46,6 +46,9 @@ class GillServeRequest:
     min_word_tokens: int = 0
     img_scale: float = 1.0         # ret_scale * gen_scale boost on [IMG0]
     max_img_runs: int = 1
+    temperature: float = 0.0       # 0 = greedy; needs engine sampling=True
+    top_p: float = 1.0
+    seed: int = 0                  # per-request sampling stream
 
 
 @dataclass
@@ -70,7 +73,13 @@ class GillDecodeEngine:
     def __init__(self, core, params, *, slots: int = 8, max_seq: int = 512,
                  chunk: int = 16, prefill_buckets=(64, 128, 256),
                  unroll_layers: Optional[bool] = None,
-                 kv_dtype=jnp.bfloat16, mesh=None):
+                 kv_dtype=jnp.bfloat16, mesh=None, sampling: bool = False):
+        # sampling=True compiles per-slot temperature/top-p sampling into
+        # the chunk program (a (slots, V) sort per step — measurable cost;
+        # greedy-only engines skip it). Keys are stateless: per-request
+        # seed folded with the slot position, so a request's stream is
+        # reproducible regardless of slot packing or chunking.
+        self.sampling = sampling
         self.core = core
         self.cfg = core.opt_cfg
         self.nt = core.cfg.num_tokens
@@ -139,7 +148,10 @@ class GillDecodeEngine:
                  "valid": jnp.zeros((B,), bool),
                  "nw": jnp.ones((B,), jnp.int32),
                  "mw": jnp.zeros((B,), jnp.int32),
-                 "scale": jnp.ones((B,), jnp.float32)},
+                 "scale": jnp.ones((B,), jnp.float32),
+                 "temp": jnp.zeros((B,), jnp.float32),
+                 "topp": jnp.ones((B,), jnp.float32),
+                 "seed": jnp.zeros((B,), jnp.int32)},
                 {"tap": jnp.zeros((B, self.nt, self.emb_dim), jnp.float32),
                  "tapw": jnp.zeros((B, self.nt), bool)})
 
@@ -168,11 +180,13 @@ class GillDecodeEngine:
                 for nreq in rbs:
                     z = jnp.zeros((nreq, pb, self.emb_dim), tgt)
                     i32 = jnp.ones((nreq,), jnp.int32)
+                    f32 = jnp.ones((nreq,), jnp.float32)
                     self.cache, self._dstate, self._dtap = self._prefill_fn(
                         self.params, self.cache, self._dstate, self._dtap,
                         z, i32, jnp.full((nreq,), self.slots, jnp.int32),
-                        i32, jnp.zeros((nreq,), jnp.int32),
-                        jnp.ones((nreq,), jnp.float32), plen=pb, nreq=nreq)
+                        i32, jnp.zeros((nreq,), jnp.int32), f32,
+                        jnp.zeros((nreq,), jnp.float32), f32,
+                        jnp.zeros((nreq,), jnp.int32), plen=pb, nreq=nreq)
             out = self._chunk_fn(self.params, self.cache, self._dstate,
                                  self._dtap)
             self.cache, self._dstate, self._dtap = out[0], out[1], out[2]
@@ -180,7 +194,7 @@ class GillDecodeEngine:
 
     # -- logit surgery (reference models.py:476-489), vectorized per slot --
 
-    def _pick(self, logits, iter_c, mw, scale):
+    def _surgery(self, logits, iter_c, mw, scale):
         img0, nt = self.img0, self.nt
         v = logits.shape[-1]
         ids = jnp.arange(v)
@@ -190,8 +204,22 @@ class GillDecodeEngine:
         img_col = logits[:, img0]
         boosted = jnp.where(scale > 1.0, jnp.abs(img_col) * scale, img_col)
         img_col = jnp.where(gate, -jnp.inf, boosted)
-        logits = logits.at[:, img0].set(img_col)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return logits.at[:, img0].set(img_col)
+
+    def _choose(self, logits, pos, temp, topp, seed):
+        """Post-surgery token choice: greedy, or (sampling=True) per-slot
+        temperature/top-p with a stateless per-(seed, position) key."""
+        if not self.sampling:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        from gill_tpu.ops.sampling import sample_per_row
+
+        keys = jax.vmap(lambda s, p: jax.random.fold_in(
+            jax.random.PRNGKey(s), p))(seed, pos)
+        return sample_per_row(keys, logits, temp, topp)
+
+    def _pick(self, logits, iter_c, mw, scale, pos, temp, topp, seed):
+        return self._choose(self._surgery(logits, iter_c, mw, scale),
+                            pos, temp, topp, seed)
 
     # -- jitted programs ---------------------------------------------------
 
@@ -202,7 +230,8 @@ class GillDecodeEngine:
         @functools.partial(jax.jit, static_argnames=("plen", "nreq"),
                            donate_argnums=(1, 2))
         def prefill(params, cache, state, tap_state, embs, true_len,
-                    slot_ids, nw, mw, scale, *, plen, nreq):
+                    slot_ids, nw, mw, scale, temp, topp, seed, *,
+                    plen, nreq):
             del plen, nreq
             small = opt_mod.init_cache(cfg, embs.shape[0], embs.shape[1],
                                        dtype=cache["k"].dtype)
@@ -216,7 +245,8 @@ class GillDecodeEngine:
             logits0 = jax.lax.dot_general(
                 h_last, head.astype(h_last.dtype), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            first = self._pick(logits0, jnp.zeros_like(true_len), mw, scale)
+            first = self._pick(logits0, jnp.zeros_like(true_len), mw, scale,
+                               true_len, temp, topp, seed)
             trigger = first == img0
             force0 = jnp.where(trigger, nt - 1, 0).astype(jnp.int32)
 
@@ -236,6 +266,9 @@ class GillDecodeEngine:
                 "nw": state["nw"].at[sid].set(nw, mode="drop"),
                 "mw": state["mw"].at[sid].set(mw, mode="drop"),
                 "scale": state["scale"].at[sid].set(scale, mode="drop"),
+                "temp": state["temp"].at[sid].set(temp, mode="drop"),
+                "topp": state["topp"].at[sid].set(topp, mode="drop"),
+                "seed": state["seed"].at[sid].set(seed, mode="drop"),
             }
             # reset the tap rows for refilled slots
             zt = jnp.zeros((sid.shape[0], nt, tap_state["tap"].shape[-1]),
@@ -283,7 +316,8 @@ class GillDecodeEngine:
                 tapw = tapw.at[rows, ci].set(tapw[rows, ci] | hit)
 
                 logits = out["logits"][:, -1]
-                sampled = self._pick(logits, iter_c, carry_mw, carry_scale)
+                sampled = self._pick(logits, iter_c, carry_mw, carry_scale,
+                                     pos, carry_temp, carry_topp, carry_seed)
                 forced_tok = (img0 + (nt - force)).astype(jnp.int32)
                 nxt = jnp.where(force > 0, forced_tok, sampled)
                 done = (force == 0) & (iter_c >= carry_nw)
@@ -300,6 +334,9 @@ class GillDecodeEngine:
             carry_nw = state["nw"]
             carry_mw = state["mw"]
             carry_scale = state["scale"]
+            carry_temp = state["temp"]
+            carry_topp = state["topp"]
+            carry_seed = state["seed"]
             entry_tok, entry_valid = state["tok"], state["valid"]
             (cache, pos, tok, iter_c, force, valid, tap, tapw), \
                 (toks, valids) = jax.lax.scan(
@@ -312,7 +349,8 @@ class GillDecodeEngine:
             valids = jnp.concatenate([entry_valid[None], valids], axis=0)
             state = {"pos": pos, "tok": tok, "iter": iter_c, "force": force,
                      "valid": valid, "nw": carry_nw, "mw": carry_mw,
-                     "scale": carry_scale}
+                     "scale": carry_scale, "temp": carry_temp,
+                     "topp": carry_topp, "seed": carry_seed}
             return cache, state, {"tap": tap, "tapw": tapw}, toks, valids
 
         return run_chunk
@@ -350,6 +388,9 @@ class GillDecodeEngine:
         nw = np.ones((nreq,), np.int32)
         mw = np.zeros((nreq,), np.int32)
         scale = np.ones((nreq,), np.float32)
+        temp = np.zeros((nreq,), np.float32)
+        topp = np.ones((nreq,), np.float32)
+        seed = np.zeros((nreq,), np.int32)
         for i, (s, req, _) in enumerate(wave):
             embs[i, : req.embs.shape[0]] = req.embs
             lens[i] = req.embs.shape[0]
@@ -357,11 +398,19 @@ class GillDecodeEngine:
             nw[i] = req.num_words
             mw[i] = req.min_word_tokens
             scale[i] = req.img_scale
+            if req.temperature > 0 and not self.sampling:
+                raise ValueError(
+                    f"request {req.uid}: temperature > 0 needs an engine "
+                    "built with sampling=True")
+            temp[i] = req.temperature
+            topp[i] = req.top_p
+            seed[i] = req.seed
         self.cache, self._dstate, self._dtap = self._prefill_fn(
             self.params, self.cache, self._dstate, self._dtap,
             jnp.asarray(embs),
             jnp.asarray(lens), jnp.asarray(slot_ids), jnp.asarray(nw),
-            jnp.asarray(mw), jnp.asarray(scale), plen=pb, nreq=nreq)
+            jnp.asarray(mw), jnp.asarray(scale), jnp.asarray(temp),
+            jnp.asarray(topp), jnp.asarray(seed), plen=pb, nreq=nreq)
         self.stats["prefills"] += 1
         self.stats["prefill_reqs"] += len(wave)
         for s, req, budget in wave:

@@ -69,11 +69,15 @@ class GillRequestHandle(RequestHandle):
     """RequestHandle + the first [IMG] run's hidden states, set at
     completion (the GILLMapper / retrieval-head input)."""
 
-    def __init__(self, uid, prompt_embs, max_new, min_word, img_scale):
+    def __init__(self, uid, prompt_embs, max_new, min_word, img_scale,
+                 temperature=0.0, top_p=1.0, seed=0):
         super().__init__(uid, [], max_new)
         self.prompt_embs = prompt_embs
         self.min_word = min_word
         self.img_scale = img_scale
+        self.temperature = temperature
+        self.top_p = top_p
+        self.seed = seed
         self.img_hidden = None
 
 
@@ -95,18 +99,23 @@ class GillOnlineEngine:
         self._thread.start()
 
     def submit(self, prompt_embs, num_words: int, *,
-               min_word_tokens: int = 0,
-               img_scale: float = 1.0) -> GillRequestHandle:
+               min_word_tokens: int = 0, img_scale: float = 1.0,
+               temperature: float = 0.0, top_p: float = 1.0,
+               seed: int = 0) -> GillRequestHandle:
         if self._stop:
             raise RuntimeError("engine closed")
         eng = self.eng
+        if temperature > 0 and not eng.sampling:
+            raise ValueError("temperature > 0 needs an engine built with "
+                             "sampling=True")
         budget = num_words + (eng.nt - 1)
         if prompt_embs.shape[0] + budget + 1 > eng.max_seq:
             raise ValueError(
                 f"{prompt_embs.shape[0]}+{budget}+1 exceeds max_seq "
                 f"{eng.max_seq}")
         h = GillRequestHandle(next(self._uid), prompt_embs, num_words,
-                              min_word_tokens, img_scale)
+                              min_word_tokens, img_scale, temperature,
+                              top_p, seed)
         self._handles[h.uid] = h
         self._q.put(h)
         return h
@@ -187,7 +196,9 @@ class GillOnlineEngine:
                         uid=h.uid, embs=h.prompt_embs,
                         num_words=h.max_new,
                         min_word_tokens=h.min_word,
-                        img_scale=h.img_scale) for h in waiting]
+                        img_scale=h.img_scale,
+                        temperature=h.temperature, top_p=h.top_p,
+                        seed=h.seed) for h in waiting]
                     eng._refill(reqs)
                     taken = len(waiting) - len(reqs)
                     waiting = waiting[taken:]

@@ -84,7 +84,8 @@ for _ in range(3):
         jnp.asarray(embs, jnp.bfloat16), jnp.ones((16,), jnp.int32),
         jnp.full((16,), eng.slots, jnp.int32), jnp.ones((16,), jnp.int32),
         jnp.zeros((16,), jnp.int32), jnp.ones((16,), jnp.float32),
-        plen=256, nreq=16)
+        jnp.zeros((16,), jnp.float32), jnp.ones((16,), jnp.float32),
+        jnp.zeros((16,), jnp.int32), plen=256, nreq=16)
     jax.block_until_ready(eng._dstate["pos"])
 dt = (time.perf_counter() - t0) / 3
 print(f"gill prefill wave (16x256): {dt*1e3:.1f} ms", flush=True)

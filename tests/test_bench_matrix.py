@@ -58,7 +58,8 @@ GOOD = {
 def test_headline_is_first_output_and_complete_matrix(
         matrix_file, monkeypatch, capsys):
     monkeypatch.setattr(bench, "_run_one_subprocess", _fake_runner(GOOD))
-    monkeypatch.setenv("GILL_BENCH_BUDGET", "900")
+    monkeypatch.setenv("GILL_BENCH_BUDGET",
+                       str(sum(est for _, _, est in bench._MATRIX_RUNS) + 60))
     bench.bench_matrix()
     lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
     head = json.loads(lines[0])
@@ -90,7 +91,8 @@ def test_stale_entries_survive_a_partial_refresh(
     # Seed a full previous matrix, then re-run with a budget that only
     # allows the headline: old values must remain, without a fresh stamp.
     monkeypatch.setattr(bench, "_run_one_subprocess", _fake_runner(GOOD))
-    monkeypatch.setenv("GILL_BENCH_BUDGET", "900")
+    monkeypatch.setenv("GILL_BENCH_BUDGET",
+                       str(sum(est for _, _, est in bench._MATRIX_RUNS) + 60))
     bench.bench_matrix()
     capsys.readouterr()
 

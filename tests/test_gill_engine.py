@@ -118,6 +118,68 @@ def test_gill_engine_tp_mesh_matches_single_device(core_params):
                                    sharded[r.uid]["img_hidden"], atol=2e-4)
 
 
+def test_gill_engine_sampling(core_params):
+    """Per-slot sampled decode: greedy requests are unchanged in a
+    sampling engine; sampled requests are reproducible and INDEPENDENT of
+    slot packing (stateless per-(seed, position) keys); different seeds
+    give different streams; [IMG] force-commit still fires under
+    sampling."""
+    core, params = core_params
+    rng = np.random.RandomState(9)
+
+    def mk(slots):
+        return GillDecodeEngine(core, params, slots=slots, max_seq=64,
+                                chunk=3, prefill_buckets=(8, 16),
+                                unroll_layers=False, kv_dtype=jnp.float32,
+                                sampling=True)
+
+    embs = [_mk_embs(rng, int(rng.randint(4, 10)), core.lm_dim)
+            for _ in range(5)]
+    reqs = [
+        GillServeRequest(uid=0, embs=embs[0], num_words=6),  # greedy row
+        GillServeRequest(uid=1, embs=embs[1], num_words=6,
+                         temperature=1.0, top_p=0.9, seed=11),
+        GillServeRequest(uid=2, embs=embs[2], num_words=6,
+                         temperature=1.0, top_p=0.9, seed=12),
+        GillServeRequest(uid=3, embs=embs[3], num_words=6,
+                         temperature=5.0, top_p=1.0, seed=13),
+        GillServeRequest(uid=4, embs=embs[4], num_words=5,
+                         temperature=0.7, top_p=0.95, seed=14,
+                         img_scale=1e8),                     # forced [IMG]
+    ]
+    out2 = mk(2).run(reqs)
+    out3 = mk(3).run(reqs)
+    # packing-independence: same tokens whichever slot pool served them
+    for r in reqs:
+        assert out2[r.uid]["tokens"] == out3[r.uid]["tokens"], r.uid
+
+    # greedy row matches a greedy-only engine exactly
+    greedy_ref, _ = _core_generate(core, params, embs[0], 6)
+    assert out2[0]["tokens"] == greedy_ref
+
+    # different seeds on identical settings -> different streams
+    same_prompt = [
+        GillServeRequest(uid=0, embs=embs[1], num_words=8,
+                         temperature=5.0, top_p=1.0, seed=1),
+        GillServeRequest(uid=1, embs=embs[1], num_words=8,
+                         temperature=5.0, top_p=1.0, seed=2),
+    ]
+    o = mk(2).run(same_prompt)
+    assert o[0]["tokens"] != o[1]["tokens"]
+
+    # boosted [IMG0] still force-commits the full run when sampled
+    toks = out2[4]["tokens"]
+    assert _first_run(toks, NUM_TOKENS) is not None
+
+    # temperature on a greedy-only engine is rejected
+    eng = GillDecodeEngine(core, params, slots=2, max_seq=64, chunk=3,
+                           prefill_buckets=(8,), unroll_layers=False,
+                           kv_dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        eng.run([GillServeRequest(uid=0, embs=embs[0], num_words=4,
+                                  temperature=1.0)])
+
+
 def test_gill_engine_rejects_oversized_request(core_params):
     core, params = core_params
     eng = GillDecodeEngine(core, params, slots=2, max_seq=32, chunk=4,

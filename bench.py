@@ -442,9 +442,12 @@ def bench_sd_decode(batch: int, steps: int = 50, size: int = 512,
     return batch / (steps * per_step)
 
 
-def bench_train_step(opt_name: str, batch: int, max_len: int = 32):
+def bench_train_step(opt_name: str, batch: int, max_len: int = 32,
+                     w8_frozen: bool = False, remat: bool = False):
     """Full 3-mode GILL train step throughput (examples/s/chip), bf16 frozen
-    backbones + fp32 adapters, random weights."""
+    backbones + fp32 adapters, random weights. w8_frozen stores the frozen
+    decoder as int8 (the single-chip opt-6.7b training config); remat
+    rematerializes its layers."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -464,13 +467,20 @@ def bench_train_step(opt_name: str, batch: int, max_len: int = 32):
                     vis_cfg=CLIPVisionConfig.from_name(vis_name),
                     vocab_len=opt_cfg.vocab_size + 9,
                     img_start=opt_cfg.vocab_size + 1)
-    lm = opt_mod.init_dummy(opt_cfg, jnp.bfloat16)
-    lm = opt_mod.resize_embeddings(lm, core.vocab_len)
-    frozen = {"lm": cast_tree(lm, jnp.bfloat16),
-              "vision": cast_tree(clip_mod.init_vision(
-                  jax.random.PRNGKey(0), core.vis_cfg), jnp.bfloat16)}
+    def make_frozen():
+        # inside jit so the bf16 tree never materializes when quantizing
+        # (13.4 GB at 6.7b would not fit next to the int8 copy)
+        lm = opt_mod.init_dummy(opt_cfg, jnp.bfloat16)
+        lm = opt_mod.resize_embeddings(lm, core.vocab_len)
+        if w8_frozen:
+            lm = opt_mod.quantize_params_w8(lm)
+        return {"lm": lm,
+                "vision": cast_tree(clip_mod.init_vision(
+                    jax.random.PRNGKey(0), core.vis_cfg), jnp.bfloat16)}
+
+    frozen = jax.jit(make_frozen)()
     adapters = core.init_adapters(jax.random.PRNGKey(1))
-    tc = TrainConfig(lr=1e-3, batch_size=batch)
+    tc = TrainConfig(lr=1e-3, batch_size=batch, remat=remat)
     state = init_state(core, tc, adapters)
     step = make_train_step(core, tc)
 
@@ -565,6 +575,15 @@ _MATRIX_RUNS = [
                        "GILL_BENCH_PROMPT": "512",
                        "GILL_BENCH_GEN": "256"}, 400),
     ("train", {"GILL_BENCH": "train"}, 240),
+    # Single-chip training of the reference's ACTUAL model (OPT-6.7B,
+    # main reference budget: 2x A6000 48GB x 48h): int8 frozen decoder
+    # (6.7 GB, dequant in-flight, gradients flow through to the adapters)
+    # + per-layer remat. The reference cannot train this model on one of
+    # its GPUs at all; one 16 GB v5e chip can.
+    ("train67_w8", {"GILL_BENCH": "train", "GILL_BENCH_W8": "1",
+                    "GILL_BENCH_REMAT": "1",
+                    "GILL_BENCH_MODEL": "facebook/opt-6.7b",
+                    "GILL_BENCH_BATCH": "64"}, 600),
 ]
 
 
@@ -707,9 +726,13 @@ def main():
     if mode == "train":
         model = os.environ.get("GILL_BENCH_MODEL", "facebook/opt-1.3b")
         batch = int(os.environ.get("GILL_BENCH_BATCH", "32"))
-        v = bench_train_step(model, batch)
+        w8 = os.environ.get("GILL_BENCH_W8", "0") == "1"
+        remat = os.environ.get("GILL_BENCH_REMAT", "0") == "1"
+        v = bench_train_step(model, batch, w8_frozen=w8, remat=remat)
+        suffix = ("_w8frozen" if w8 else "") + ("_remat" if remat else "")
         print(json.dumps({
-            "metric": f"{model.split('/')[-1]}_gill_train_examples_per_sec_per_chip",
+            "metric": f"{model.split('/')[-1]}_gill_train_examples_per_sec"
+                      f"_per_chip{suffix}",
             "value": round(v, 2),
             "unit": "examples/s/chip",
             # reference budget: 2xA6000 x 48h for 10 epochs x 2000 steps x

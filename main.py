@@ -59,6 +59,13 @@ def parse_args(argv):
     p.add_argument("--grad-accumulation-steps", default=1, type=int)
     p.add_argument("--grad-clip", default=1.0, type=float)
     p.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
+    p.add_argument("--frozen-lm-precision", default=None,
+                   choices=["bf16", "fp32", "w8"],
+                   help="override the frozen LM's precision; 'w8' stores "
+                        "the frozen decoder as per-channel int8 (halved "
+                        "HBM: OPT-6.7B fits one 16GB chip for training) — "
+                        "matmuls dequantize in-flight and gradients flow "
+                        "through to the adapters unchanged")
     p.add_argument("--cap-loss-scale", default=1.0, type=float)
     p.add_argument("--ret-loss-scale", default=1.0, type=float)
     p.add_argument("--gen-loss-scale", default=1.0, type=float)
@@ -212,6 +219,18 @@ def main(argv):
     vision = wloader.load_clip_vision(args.visual_model, core.vis_cfg,
                                       args.weights_dir)
     frozen = cast_tree({"lm": lm, "vision": vision}, dtype)
+    if args.frozen_lm_precision == "w8":
+        if args.tp_size > 1:
+            raise SystemExit("--frozen-lm-precision w8 is a single-chip/"
+                             "DP memory lever; use bf16 with --tp-size>1")
+        from gill_tpu.models import opt as opt_mod
+
+        frozen["lm"] = opt_mod.quantize_params_w8(
+            cast_tree(frozen["lm"], jnp.bfloat16))
+    elif args.frozen_lm_precision in ("bf16", "fp32"):
+        frozen["lm"] = cast_tree(
+            frozen["lm"], jnp.bfloat16 if args.frozen_lm_precision == "bf16"
+            else jnp.float32)
     adapters = core.init_adapters(jax.random.PRNGKey(args.seed or 0))
 
     n_train = param_count(adapters)

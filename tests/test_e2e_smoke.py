@@ -126,3 +126,38 @@ def test_dataloader_prefetch(tmp_path):
     dl.set_epoch(1)
     batches2 = list(dl)
     assert len(batches2) == 3
+
+
+def test_main_cli_w8_frozen_lm(tmp_path):
+    """--frozen-lm-precision w8 (the single-chip OPT-6.7B training mode)
+    runs the CLI end to end with an int8 frozen decoder."""
+    import os
+
+    from gill_tpu.data.dataset import make_stub_dataset
+
+    make_stub_dataset(str(tmp_path), n=4, image_size=32, num_clip_tokens=8,
+                      gen_emb_dim=12, split="train")
+    make_stub_dataset(str(tmp_path), n=2, image_size=32, num_clip_tokens=8,
+                      gen_emb_dim=12, split="val")
+
+    import main as train_main
+
+    train_main.main([
+        "--opt-version", "facebook/opt-125m",
+        "--visual-model", "openai/clip-vit-base-patch32",
+        "--dataset", "cc3m", "--val-dataset", "cc3m",
+        "--dataset-dir", os.path.join(str(tmp_path), "datasets"),
+        "--image-dir", str(tmp_path),
+        "--log-base-dir", str(tmp_path / "runs"),
+        "--exp-name", "w8smoke",
+        "--precision", "fp32", "--frozen-lm-precision", "w8",
+        "--batch-size", "2", "--val-batch-size", "2",
+        "--epochs", "1", "--steps-per-epoch", "1",
+        "--val-steps-per-epoch", "1",
+        "--num-tokens", "4", "--num-clip-tokens", "8",
+        "--gen-emb-dim", "12", "--ret-emb-dim", "8",
+        "--n-visual-tokens", "2", "--max-len", "16",
+        "--lr-warmup-steps", "1", "--print-freq", "1",
+        "--seed", "42", "--workers", "1",
+    ])
+    assert (tmp_path / "runs" / "w8smoke" / "ckpt" / "state.npz").exists()

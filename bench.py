@@ -522,9 +522,9 @@ _MATRIX_RUNS = [
     ("sd_dpm", {"GILL_BENCH": "sd_dpm"}, 120),
     ("opt_w8", {"GILL_BENCH": "opt", "GILL_BENCH_W8": "1",
                 "GILL_BENCH_UNROLL": "1"}, 180),
-    ("opt_w8_b32", {"GILL_BENCH": "opt", "GILL_BENCH_W8": "1",
+    ("opt_w8_b64", {"GILL_BENCH": "opt", "GILL_BENCH_W8": "1",
                     "GILL_BENCH_UNROLL": "1",
-                    "GILL_BENCH_BATCH": "32"}, 180),
+                    "GILL_BENCH_BATCH": "64"}, 180),
     ("opt", {"GILL_BENCH": "opt", "GILL_BENCH_UNROLL": "1"}, 180),
     # Continuous-batching serving engine (gill_tpu/serve): mixed-length
     # trace, baseline = wave scheduling with the same programs.
@@ -555,12 +555,13 @@ _MATRIX_RUNS = [
                   "GILL_BENCH_MODEL": "facebook/opt-6.7b",
                   "GILL_BENCH_BATCH": "8"}, 240),
     # Throughput-serving config: the W8 decode step is weight-bandwidth
-    # bound, so batch scales nearly free (b8=725, b16=1284, b32=2290
-    # tok/s); int8 weights (6.7GB) leave ~8GB for KV + activations.
-    ("opt67_w8_b32", {"GILL_BENCH": "opt", "GILL_BENCH_W8": "1",
+    # bound, so batch scales nearly free (b8=725, b16=1284, b32=2290,
+    # b64=3502 tok/s); int8 weights (6.7GB) leave ~8GB for KV +
+    # activations (b64 x 128-token KV = 4.3 GB).
+    ("opt67_w8_b64", {"GILL_BENCH": "opt", "GILL_BENCH_W8": "1",
                       "GILL_BENCH_UNROLL": "1",
                       "GILL_BENCH_MODEL": "facebook/opt-6.7b",
-                      "GILL_BENCH_BATCH": "32"}, 240),
+                      "GILL_BENCH_BATCH": "64"}, 240),
     # Chat-length context: the reference's full-reforward decode is
     # QUADRATIC in context, so this is where the KV-cached scan shows its
     # largest algorithmic win (vs_baseline ~21x). Measured round 3: int8 KV

@@ -182,3 +182,30 @@ def test_train_step_w8_frozen_lm():
         lambda a, b: float(jnp.abs(a - b).max()),
         s_w8.adapters, params["adapters"])
     assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_train_step_w8_frozen_dp_mesh():
+    """DP=8 over the virtual mesh with the int8 frozen decoder — the
+    v5e-8 configuration of the single-chip OPT-6.7B training mode
+    (param_shardings must resolve the quantized leaf structure)."""
+    from gill_tpu.models import opt as opt_mod
+
+    core = make_core()
+    tc = TrainConfig(lr=1e-3, lr_warmup_steps=1, steps_per_epoch=4,
+                     batch_size=16)
+    params = core.init_params(jax.random.PRNGKey(0))
+    frozen = {"lm": opt_mod.quantize_params_w8(params["lm"]),
+              "vision": params["vision"]}
+    mesh = create_mesh(dp_size=8, tp_size=1)
+    frozen = jax.device_put(frozen, param_shardings(mesh, frozen))
+    state = init_state(core, tc, params["adapters"])
+    state = jax.device_put(state, jax.tree_util.tree_map(
+        lambda _: replicated(mesh), state,
+        is_leaf=lambda x: hasattr(x, "shape")))
+    batch = make_batch(b=16)
+    batch = jax.device_put(batch, jax.tree_util.tree_map(
+        lambda _: batch_sharding(mesh), batch))
+    step = make_train_step(core, tc)
+    with jax.sharding.set_mesh(mesh):
+        state, m = step(state, frozen, batch, concat=False)
+    assert np.isfinite(float(m["loss"]))

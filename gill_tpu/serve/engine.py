@@ -443,8 +443,8 @@ class DecodeEngine:
                     pending.append((toks, snap))
                 while len(pending) > depth or (not active and pending):
                     self._collect_block(pending.popleft(), results)
-        while pending:
-            self._collect_block(pending.popleft(), results)
+        # (the loop can only break once pending is empty — the in-loop
+        # collector is the single drain point)
         return results
 
     def run_waves(self, requests: List[ServeRequest]) -> Dict[int, List[int]]:

@@ -59,6 +59,8 @@ class _GSlot:
     valid: List[bool] = field(default_factory=list)
     fresh: bool = True
     planned: int = 0               # FED steps covered by dispatched chunks
+    fed: int = 0                   # FED steps covered by COLLECTED blocks
+    prefix_ok: bool = True         # valid prefix still unbroken (latches)
     done: bool = False
 
 
@@ -91,8 +93,11 @@ class GillDecodeEngine:
         self.slots = slots
         self.max_seq = max_seq
         self.chunk = chunk
-        self.buckets = tuple(b for b in sorted(set(prefill_buckets))
-                             if b <= max_seq)
+        buckets = sorted(set(b for b in prefill_buckets if b <= max_seq))
+        if not buckets or buckets[-1] < max_seq:
+            # every admissible prompt (plen <= max_seq) must find a bucket
+            buckets.append(max_seq)
+        self.buckets = tuple(buckets)
         if unroll_layers is None:
             unroll_layers = jax.default_backend() == "tpu"
         self.unroll = unroll_layers
@@ -357,19 +362,28 @@ class GillDecodeEngine:
 
     # -- scheduler ---------------------------------------------------------
 
+    def _validate(self, req: GillServeRequest) -> int:
+        """Admission check (run BEFORE any request is scheduled, so a bad
+        request cannot abort a batch mid-run). Returns the step budget."""
+        plen = req.embs.shape[0]
+        budget = req.num_words + (self.nt - 1) * req.max_img_runs
+        if plen + budget + 1 > self.max_seq:
+            raise ValueError(
+                f"request {req.uid}: {plen}+{budget}+1 exceeds max_seq "
+                f"{self.max_seq}")
+        if req.temperature > 0 and not self.sampling:
+            raise ValueError(
+                f"request {req.uid}: temperature > 0 needs an engine built "
+                "with sampling=True")
+        return budget
+
     def _refill(self, queue: List[GillServeRequest]):
         wave = []
         for s in range(self.slots):
             if self._state[s] is not None or not queue:
                 continue
             req = queue.pop(0)
-            plen = req.embs.shape[0]
-            budget = req.num_words + (self.nt - 1) * req.max_img_runs
-            if plen + budget + 1 > self.max_seq:
-                raise ValueError(
-                    f"request {req.uid}: {plen}+{budget}+1 exceeds max_seq "
-                    f"{self.max_seq}")
-            wave.append((s, req, budget))
+            wave.append((s, req, self._validate(req)))
         if not wave:
             return
         pb = max(_bucket(req.embs.shape[0], self.buckets)
@@ -398,10 +412,6 @@ class GillDecodeEngine:
             nw[i] = req.num_words
             mw[i] = req.min_word_tokens
             scale[i] = req.img_scale
-            if req.temperature > 0 and not self.sampling:
-                raise ValueError(
-                    f"request {req.uid}: temperature > 0 needs an engine "
-                    "built with sampling=True")
             temp[i] = req.temperature
             topp[i] = req.top_p
             seed[i] = req.seed
@@ -424,6 +434,7 @@ class GillDecodeEngine:
         for s, (st, was_fresh) in snap.items():
             if st.done:
                 continue
+            st.fed += arr.shape[0] - 1
             lo = 0 if was_fresh else 1
             for r in range(lo, arr.shape[0]):
                 # exactly `budget` tokens, like GILLCore's fixed-length scan
@@ -433,7 +444,14 @@ class GillDecodeEngine:
                     break
                 st.generated.append(int(arr[r, s]))
                 st.valid.append(bool(var[r, s]))
-            if len(st.generated) >= st.budget:
+            # Finish only once this block's FED coverage reaches the
+            # budget: output m's hidden tap is captured at fed step m+1
+            # (the step that FEEDS the token), so a block whose rows reach
+            # `budget` outputs at fed coverage budget-1 (budget == K*chunk
+            # + 1) does not yet hold the LAST output's tap row — taking
+            # the tap snapshot there would deliver a zero row for an [IMG]
+            # run ending on the final output.
+            if len(st.generated) >= st.budget and st.fed >= st.budget:
                 if tap_host is None:
                     tap_host = np.asarray(tap)
                 v = np.asarray(st.valid, bool)
@@ -453,6 +471,9 @@ class GillDecodeEngine:
         reference-semantics), "img_hidden": (num_tokens, E) np.ndarray —
         the hidden states of the FIRST [IMG0..n) run (api selects runs
         from tokens; rows are zero when no run was emitted)}."""
+        # admission up front: a bad request must not abort the batch mid-run
+        for req in requests:
+            self._validate(req)
         queue = list(requests)
         results: Dict[int, dict] = {}
         pending = deque()
@@ -487,6 +508,6 @@ class GillDecodeEngine:
                 pending.append((toks, valids, self._dtap["tap"], snap))
             while len(pending) > depth or (not active and pending):
                 self._collect_block(pending.popleft(), results)
-        while pending:
-            self._collect_block(pending.popleft(), results)
+        # (the loop can only break once pending is empty — the in-loop
+        # collector is the single drain point)
         return results

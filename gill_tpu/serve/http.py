@@ -143,7 +143,9 @@ def make_server(online: Optional[OnlineEngine] = None, tokenizer=None,
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
                     self._do_gill(req)
-                except (ValueError, KeyError, TypeError,
+                # OSError covers PIL.UnidentifiedImageError on garbage
+                # image_b64 payloads (binascii.Error is a ValueError)
+                except (ValueError, KeyError, TypeError, OSError,
                         json.JSONDecodeError) as e:
                     self._json(400, {"error": str(e)})
                 return
@@ -181,13 +183,18 @@ def make_server(online: Optional[OnlineEngine] = None, tokenizer=None,
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
             count = 0
-            for tok in handle.stream():
-                piece = tokenizer.decode([tok]) if tokenizer else None
-                self._chunk(json.dumps(
-                    {"token": tok, "text": piece}).encode() + b"\n")
-                count += 1
-            self._chunk(json.dumps({"done": True, "n": count}).encode()
-                        + b"\n")
+            try:
+                for tok in handle.stream():
+                    piece = tokenizer.decode([tok]) if tokenizer else None
+                    self._chunk(json.dumps(
+                        {"token": tok, "text": piece}).encode() + b"\n")
+                    count += 1
+                self._chunk(json.dumps({"done": True, "n": count}).encode()
+                            + b"\n")
+            except RuntimeError as e:
+                # engine closed / scheduler crash mid-stream: the client
+                # gets a terminal error record, not a truncated body
+                self._chunk(json.dumps({"error": str(e)}).encode() + b"\n")
             self.wfile.write(b"0\r\n\r\n")
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -180,6 +180,43 @@ def test_gill_engine_sampling(core_params):
                                   temperature=1.0)])
 
 
+def test_gill_engine_tap_at_chunk_boundary(core_params):
+    """Regression: when budget == K*chunk + 1 and the [IMG] run ends on
+    the FINAL output, the last tap row is captured one fed-step after the
+    block whose rows reach the budget — finishing on that earlier block
+    delivered a zero row. budget = num_words 2 + (nt-1) 3 = 5 = 1*4 + 1."""
+    core, params = core_params
+    rng = np.random.RandomState(11)
+    embs = _mk_embs(rng, 5, core.lm_dim)
+    eng = GillDecodeEngine(core, params, slots=2, max_seq=64, chunk=4,
+                           prefill_buckets=(8,), unroll_layers=False,
+                           kv_dtype=jnp.float32)
+    out = eng.run([GillServeRequest(uid=0, embs=embs, num_words=2,
+                                    min_word_tokens=1, img_scale=1e8)])
+    ref_toks, ref_hid = _core_generate(core, params, embs, 2, 1, 1e8)
+    assert out[0]["tokens"] == ref_toks
+    i = _first_run(ref_toks, NUM_TOKENS)
+    assert i is not None and i + NUM_TOKENS == len(ref_toks), \
+        "test must place the [IMG] run at the very end"
+    np.testing.assert_allclose(out[0]["img_hidden"],
+                               ref_hid[i: i + NUM_TOKENS], atol=2e-4)
+
+
+def test_gill_engine_long_prompt_finds_bucket(core_params):
+    """Default buckets must cover max_seq: a prompt longer than the last
+    configured bucket previously crashed _refill mid-batch."""
+    core, params = core_params
+    rng = np.random.RandomState(12)
+    eng = GillDecodeEngine(core, params, slots=2, max_seq=64, chunk=4,
+                           prefill_buckets=(8, 16), unroll_layers=False,
+                           kv_dtype=jnp.float32)
+    assert eng.buckets[-1] == 64
+    embs = _mk_embs(rng, 40, core.lm_dim)      # > 16, <= 64
+    out = eng.run([GillServeRequest(uid=0, embs=embs, num_words=3)])
+    ref, _ = _core_generate(core, params, embs, 3)
+    assert out[0]["tokens"] == ref
+
+
 def test_gill_engine_rejects_oversized_request(core_params):
     core, params = core_params
     eng = GillDecodeEngine(core, params, slots=2, max_seq=32, chunk=4,

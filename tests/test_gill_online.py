@@ -74,6 +74,26 @@ def test_gill_online_streams_incrementally(core_params):
         online.close()
 
 
+def test_online_scheduler_crash_fails_handles(core_params):
+    """A scheduler-side crash must FAIL the in-flight handles (raising
+    from result()/stream()) rather than stranding their callers forever,
+    and later submits must be rejected."""
+    core, params = core_params
+    online = GillOnlineEngine(_engine(core, params))
+
+    def boom(*a, **k):
+        raise RuntimeError("induced device failure")
+
+    online.eng._chunk_fn = boom
+    rng = np.random.RandomState(4)
+    h = online.submit(rng.randn(5, core.lm_dim).astype(np.float32), 4)
+    with pytest.raises(RuntimeError, match="induced device failure"):
+        h.result(timeout=120)
+    online._thread.join(timeout=60)
+    with pytest.raises(RuntimeError, match="closed"):
+        online.submit(rng.randn(5, core.lm_dim).astype(np.float32), 4)
+
+
 def _tiny_gill():
     """Minimal GILL with tiny SD for the HTTP pipeline test (mirrors the
     test_api fixture, without retrieval/decision)."""
@@ -161,6 +181,17 @@ def test_http_gill_route_end_to_end():
         # no-prompts -> 400
         rq = urllib.request.Request(
             f"{base}/v1/gill", data=b"{}",
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(rq, timeout=60)
+        assert e.value.code == 400
+
+        # garbage image payload -> 400 (PIL raises an OSError subclass)
+        bad = base64.b64encode(b"definitely not a PNG").decode()
+        rq = urllib.request.Request(
+            f"{base}/v1/gill",
+            data=json.dumps({"prompts": [{"image_b64": bad}],
+                             "num_words": 2}).encode(),
             headers={"Content-Type": "application/json"})
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(rq, timeout=60)

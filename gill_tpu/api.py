@@ -43,8 +43,6 @@ class GILL:
         cache with per-token-per-head scales (halved cache traffic and 2x
         context headroom). Both opt-in serving modes."""
         if lm_weight_precision == "w8":
-            from gill_tpu.models import opt as opt_mod
-
             params = dict(params)
             params["lm"] = opt_mod.quantize_params_w8(params["lm"])
         elif lm_weight_precision != "bf16":
@@ -249,7 +247,9 @@ class GILL:
             gen_emb = self._gen_map_fn(self.params, raw_emb,
                                        gen_prefix_embs.astype(raw_emb.dtype))
             nct = self.core.cfg.num_clip_tokens
-            if gen_emb.shape[1] != nct:
+            if gen_emb.shape[1] > nct:
+                gen_emb = gen_emb[:, :nct]
+            elif gen_emb.shape[1] < nct:
                 pad = jnp.zeros((gen_emb.shape[0], nct - gen_emb.shape[1],
                                  gen_emb.shape[2]), gen_emb.dtype)
                 gen_emb = jnp.concatenate([gen_emb, pad], axis=1)
@@ -344,23 +344,35 @@ class GILL:
                 img_scale=scale, temperature=temperature, top_p=top_p,
                 seed=(base_seed + uid) % (2**31 - 1)))
 
+        if not reqs:
+            return []
         nt = self.core.cfg.num_tokens
         if max_seq is None:
             longest = max(r.embs.shape[0] for r in reqs)
             max_seq = -(-(longest + num_words + nt) // 64) * 64
         sampling = temperature > 0
-        key = (slots, chunk, max_seq, sampling)
+        # One engine per (slots, chunk, sampling): a longer batch REPLACES
+        # the engine with a larger-max_seq one (freeing the old KV pool)
+        # instead of pinning one multi-GB pool per prompt-length bucket.
+        key = (slots, chunk, sampling)
         cache = getattr(self, "_serve_engines", None)
         if cache is None:
             cache = {}
             self._serve_engines = cache
         eng = cache.get(key)
-        if eng is None:
+        if eng is None or eng.max_seq < max_seq:
+            if self.kv_int8:
+                import warnings
+
+                warnings.warn("kv_cache_precision='int8' applies to the "
+                              "sequential decode path; the serving engines "
+                              "use a bf16 KV pool", stacklevel=2)
             kv_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
                         else jnp.float32)
-            eng = GillDecodeEngine(self.core, self.params, slots=slots,
-                                   max_seq=max_seq, chunk=chunk,
-                                   kv_dtype=kv_dtype, sampling=sampling)
+            eng = GillDecodeEngine(
+                self.core, self.params, slots=slots,
+                max_seq=max(max_seq, eng.max_seq if eng else 0),
+                chunk=chunk, kv_dtype=kv_dtype, sampling=sampling)
             cache[key] = eng
         served = eng.run(reqs)
 
@@ -377,24 +389,32 @@ class GILL:
     # -- online (streaming) serving --------------------------------------------
 
     def get_online_engine(self, slots: int = 4, chunk: int = 8,
-                          max_seq: int = 512):
+                          max_seq: int = 512, sampling: bool = False):
         """Lazily build the thread-owned online GILL serving engine
-        (serve/online.py GillOnlineEngine over serve/gill_engine.py)."""
+        (serve/online.py GillOnlineEngine over serve/gill_engine.py).
+        Serving engines use a bf16 KV pool (kv_cache_precision='int8'
+        applies to the sequential decode path only)."""
         from gill_tpu.serve.gill_engine import GillDecodeEngine
         from gill_tpu.serve.online import GillOnlineEngine
 
-        key = (slots, chunk, max_seq)
+        key = (slots, chunk, max_seq, sampling)
         cache = getattr(self, "_online_engines", None)
         if cache is None:
             cache = {}
             self._online_engines = cache
         online = cache.get(key)
         if online is None:
+            if self.kv_int8:
+                import warnings
+
+                warnings.warn("kv_cache_precision='int8' applies to the "
+                              "sequential decode path; the serving engines "
+                              "use a bf16 KV pool", stacklevel=2)
             kv_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
                         else jnp.float32)
             eng = GillDecodeEngine(self.core, self.params, slots=slots,
                                    max_seq=max_seq, chunk=chunk,
-                                   kv_dtype=kv_dtype)
+                                   kv_dtype=kv_dtype, sampling=sampling)
             online = GillOnlineEngine(eng)
             cache[key] = online
         return online
@@ -403,6 +423,8 @@ class GILL:
                        min_word_tokens: int = 0,
                        ret_scale_factor: float = 1.0,
                        gen_scale_factor: float = 1.0,
+                       temperature: float = 0.0, top_p: float = 1.0,
+                       seed: int = 0,
                        always_add_bos: bool = False, *, slots: int = 4,
                        chunk: int = 8, max_seq: int = 512):
         """Submit one interleaved prompt to the online serving engine;
@@ -413,13 +435,15 @@ class GILL:
         outputs."""
         embs, _ = self._encode_prompts(prompts, always_add_bos)
         online = self.get_online_engine(slots=slots, chunk=chunk,
-                                        max_seq=max_seq)
+                                        max_seq=max_seq,
+                                        sampling=temperature > 0)
         emb_dt = (jnp.bfloat16 if jax.default_backend() == "tpu"
                   else jnp.float32)
         scale = max(ret_scale_factor, 1.0) * max(gen_scale_factor, 1.0)
         return online.submit(np.asarray(jnp.asarray(embs[0], emb_dt)),
                              num_words, min_word_tokens=min_word_tokens,
-                             img_scale=scale)
+                             img_scale=scale, temperature=temperature,
+                             top_p=top_p, seed=seed)
 
     def finalize_async(self, handle, generator=None,
                        guidance_scale: float = 7.5,

@@ -13,10 +13,12 @@ import jax.numpy as jnp
 NEG_INF = -jnp.inf
 
 
-def top_p_filter(logits, top_p: float):
+def top_p_filter(logits, top_p):
     """Nucleus filtering: keep the smallest prefix of the sorted distribution
     with cumulative probability > top_p, first token always kept (matches the
-    reference's shifted-mask semantics, gill/models.py:499-512)."""
+    reference's shifted-mask semantics, gill/models.py:499-512). top_p may be
+    a scalar or a per-row (B, 1) array (the serving engines carry it as
+    request data)."""
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     probs = jax.nn.softmax(sorted_logits.astype(jnp.float32), axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
@@ -35,15 +37,7 @@ def sample_per_row(keys, logits, temperature, top_p):
     gill/models.py:494-515)."""
     lf = logits.astype(jnp.float32)
     t = jnp.maximum(temperature, 1e-6)[:, None]
-    scaled = lf / t
-    # nucleus filter with per-row p
-    sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    keep = (cum - probs) <= top_p[:, None]
-    kth = jnp.maximum(keep.sum(axis=-1) - 1, 0)
-    thresh = jnp.take_along_axis(sorted_logits, kth[..., None], axis=-1)
-    filtered = jnp.where(scaled < thresh, NEG_INF, scaled)
+    filtered = top_p_filter(lf / t, top_p[:, None])
     drawn = jax.vmap(jax.random.categorical)(keys, filtered)
     greedy = jnp.argmax(logits, axis=-1)
     return jnp.where(temperature > 0, drawn, greedy).astype(jnp.int32)

@@ -321,8 +321,13 @@ class GillDecodeEngine:
                 tapw = tapw.at[rows, ci].set(tapw[rows, ci] | hit)
 
                 logits = out["logits"][:, -1]
+                # key counter = pos + 1: the fed token sits at `pos`, and
+                # the prefill already drew with counter true_len (== the
+                # first fed position) for token 0 — using pre-increment pos
+                # here would reuse that key for token 1
                 sampled = self._pick(logits, iter_c, carry_mw, carry_scale,
-                                     pos, carry_temp, carry_topp, carry_seed)
+                                     pos + 1, carry_temp, carry_topp,
+                                     carry_seed)
                 forced_tok = (img0 + (nt - force)).astype(jnp.int32)
                 nxt = jnp.where(force > 0, forced_tok, sampled)
                 done = (force == 0) & (iter_c >= carry_nw)

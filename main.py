@@ -163,16 +163,25 @@ def main(argv):
     from gill_tpu.weights import loader as wloader
 
     # ---- log dir (collision-free; reference main.py:176-188) ----
+    # Rank 0 picks + creates the dir (makedirs is the atomic claim — the
+    # exists()/makedirs pair alone is a race under concurrent launches);
+    # other processes reuse the un-suffixed path and write nothing, like
+    # the reference's is_main_process gating.
     log_dir = os.path.join(args.log_base_dir, args.exp_name)
-    i = 1
-    while os.path.exists(log_dir):
-        log_dir = os.path.join(args.log_base_dir, f"{args.exp_name}_{i}")
-        i += 1
-    os.makedirs(log_dir)
-    with open(os.path.join(log_dir, "args.json"), "w") as f:
-        json.dump(vars(args), f, indent=4)
-    dump_git_status(os.path.join(log_dir, "git_info.txt"))
-    print(f"Logging to {log_dir}.", flush=True)
+    if jax.process_index() == 0:
+        i = 1
+        while True:
+            try:
+                os.makedirs(log_dir)
+                break
+            except FileExistsError:
+                log_dir = os.path.join(args.log_base_dir,
+                                       f"{args.exp_name}_{i}")
+                i += 1
+        with open(os.path.join(log_dir, "args.json"), "w") as f:
+            json.dump(vars(args), f, indent=4)
+        dump_git_status(os.path.join(log_dir, "git_info.txt"))
+        print(f"Logging to {log_dir}.", flush=True)
 
     if args.seed is not None:
         np.random.seed(args.seed)
@@ -189,7 +198,8 @@ def main(argv):
         num_clip_tokens=args.num_clip_tokens, max_len=args.max_len,
         retrieval_token_idx=tuple(img_ids), gen_token_idx=tuple(img_ids),
         image_size=args.image_size)
-    cfg.to_json(os.path.join(log_dir, "model_args.json"))
+    if jax.process_index() == 0:
+        cfg.to_json(os.path.join(log_dir, "model_args.json"))
 
     core = GILLCore.build(cfg, vocab_len=len(tokenizer), img_start=img_ids[0],
                           pad_token_id=tokenizer.pad_token_id,
@@ -238,12 +248,16 @@ def main(argv):
     report = (f"Trainable params: {n_train:,}\n"
               f"Frozen params:   {n_frozen:,}\n")
     print(report, flush=True)
-    with open(os.path.join(log_dir, "param_count.txt"), "w") as f:
-        f.write(report)
+    if jax.process_index() == 0:
+        with open(os.path.join(log_dir, "param_count.txt"), "w") as f:
+            f.write(report)
 
     # ---- mesh + shardings (auto-shrink DP to divide the batch) ----
     n_dev = len(jax.devices())
     tp = max(1, tc.tp_size)
+    if tp > n_dev:
+        raise SystemExit(
+            f"--tp-size {tp} exceeds the {n_dev} available device(s)")
     dp = tc.dp_size if tc.dp_size > 0 else n_dev // tp
     while dp > 1 and (tc.batch_size % dp != 0 or dp * tp > n_dev):
         dp -= 1
@@ -364,7 +378,12 @@ def main(argv):
                 concat = bool(rng.uniform() < tc.concat_captions_prob) and \
                     (tc.batch_size % 2 == 0)
                 actual_step = epoch * tc.steps_per_epoch + i + 1
-                if args.profile_steps and actual_step == 2:
+                # relative to THIS run's second executed step, so --resume
+                # + --profile-steps still traces (absolute step 2 is long
+                # gone on a resumed run)
+                run_step = ((epoch - args.start_epoch)
+                            * tc.steps_per_epoch + i + 1)
+                if args.profile_steps and run_step == 2:
                     jax.profiler.start_trace(os.path.join(log_dir, "trace"))
                 state, metrics = step_fn(state, frozen, put_batch(batch),
                                          concat=concat)
@@ -373,7 +392,7 @@ def main(argv):
                     jnp.add, msum, metrics)
                 mcount += 1
                 if args.profile_steps and \
-                        actual_step == 1 + args.profile_steps:
+                        run_step == 1 + args.profile_steps:
                     jax.tree_util.tree_map(
                         lambda x: x.block_until_ready(), metrics)
                     jax.profiler.stop_trace()

@@ -66,19 +66,19 @@ def init(key, cfg: OPTConfig, dtype=jnp.float32):
         "mlp_ln": ln(),
     }
     params = {
-        "embed_tokens": nn.embedding_init(keys[3], cfg.vocab_size,
+        "embed_tokens": nn.embedding_init(keys[6], cfg.vocab_size,
                                           cfg.word_embed_proj_dim, dtype),
         "embed_positions": nn.embedding_init(
-            keys[4], cfg.max_positions + cfg.position_offset, d, dtype),
+            keys[7], cfg.max_positions + cfg.position_offset, d, dtype),
         "layers": layers,
     }
     if cfg.do_layer_norm_before:
         params["final_ln"] = nn.layer_norm_init(d, dtype)
     if cfg.word_embed_proj_dim != cfg.hidden_size:
         params["project_in"] = nn.linear_init(
-            keys[5], cfg.word_embed_proj_dim, d, bias=False, dtype=dtype)
+            keys[8], cfg.word_embed_proj_dim, d, bias=False, dtype=dtype)
         params["project_out"] = nn.linear_init(
-            keys[6], d, cfg.word_embed_proj_dim, bias=False, dtype=dtype)
+            keys[9], d, cfg.word_embed_proj_dim, bias=False, dtype=dtype)
     return params
 
 
@@ -141,6 +141,11 @@ def quantize_params_w8(params, kernel: bool = None):
             out["b"] = leaf["b"]
         if use_kernel:
             out["kern"] = ()  # static marker (empty pytree: no leaf)
+        elif kernel is False:
+            # explicit opt-OUT: forces the XLA dequant form even on the
+            # stacked/unrolled path, where the Pallas kernel is otherwise
+            # the default (nn.linear)
+            out["xla"] = ()
         return out
 
     use_kernel = kernel
@@ -278,6 +283,9 @@ def _layer_view(layers, i: int):
                    "layer_idx": i}
             if "b" in layers:
                 out["b"] = layers["b"][i]
+            for marker in ("kern", "xla"):   # static kernel-choice markers
+                if marker in layers:
+                    out[marker] = ()
             return out
         return {k: _layer_view(v, i) for k, v in layers.items()}
     if isinstance(layers, tuple) and not layers:  # "kern" static marker

@@ -61,7 +61,11 @@ def linear(p, x):
             # materialized (a slice feeding a pallas custom-call forces a
             # full weight copy — 20 ms/token at opt-6.7b, profile_opt67.py).
             kdim, n = p["w8"].shape[1:]
-            if (m <= 256 and jax.default_backend() == "tpu"
+            # "xla" marker = quantize_params_w8(kernel=False): force the
+            # XLA dequant form even here (the stacked kernel is otherwise
+            # the unrolled-path default)
+            if ("xla" not in p and m <= 256
+                    and jax.default_backend() == "tpu"
                     and kdim % 512 == 0 and n % 512 == 0):
                 from gill_tpu.ops.w8_matmul import w8_matmul_stacked
 

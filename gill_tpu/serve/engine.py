@@ -108,6 +108,9 @@ class DecodeEngine:
         self.pad_id = pad_id
         self.unroll = unroll_layers
         self.mesh = mesh
+        assert kv_dtype != jnp.int8, \
+            "int8 KV needs init_cache(kv_int8=True) scale plumbing, which " \
+            "the serving engine does not carry; use bf16"
         self.cache = opt_mod.init_cache(cfg, slots, max_seq, dtype=kv_dtype)
         if mesh is not None:
             # Tensor-parallel serving: Megatron specs shard the LM matrices

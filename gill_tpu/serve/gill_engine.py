@@ -107,6 +107,9 @@ class GillDecodeEngine:
         lm["embed_tokens"] = {"weight": core.lm_head_table(params)}
         self.params = lm
         self.emb_dim = int(lm["embed_tokens"]["weight"].shape[1])
+        assert kv_dtype != jnp.int8, \
+            "int8 KV needs init_cache(kv_int8=True) scale plumbing, which " \
+            "the serving engine does not carry; use bf16"
         self.cache = opt_mod.init_cache(self.cfg, slots, max_seq,
                                         dtype=kv_dtype)
         self.mesh = mesh

@@ -58,12 +58,19 @@ class SpeculativeDecoder:
                  pad_id: int = 1, unroll_layers: bool = True,
                  kv_dtype=jnp.bfloat16):
         assert tcfg.vocab_size == dcfg.vocab_size, "shared vocab required"
+        assert kv_dtype != jnp.int8, \
+            "int8 KV needs init_cache(kv_int8=True) scale plumbing, which " \
+            "the speculative decoder does not carry; use bf16"
         self.tparams, self.tcfg = tparams, tcfg
         self.dparams, self.dcfg = dparams, dcfg
         self.k = k
         self.max_seq = max_seq
-        self.buckets = tuple(b for b in sorted(set(prefill_buckets))
-                             if b <= max_seq)
+        buckets = sorted(set(b for b in prefill_buckets if b <= max_seq))
+        if not buckets or buckets[-1] < max_seq:
+            # every admissible prompt must find a bucket (a 600-token
+            # prompt under max_seq=1024 previously crashed on next())
+            buckets.append(max_seq)
+        self.buckets = tuple(buckets)
         self.rounds = rounds_per_call
         self.eos_id = eos_id
         self.pad_id = pad_id

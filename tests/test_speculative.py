@@ -97,3 +97,30 @@ def test_eos_truncates(target):
                              eos_id=eos)
     out = dec.generate(prompt, 12)
     assert out == free[:free.index(eos) + 1]
+
+
+def test_unrolled_layers_matches(target):
+    """unroll_layers=True is the TPU serving DEFAULT — pin it to the same
+    tokens as the scan path (previously only unroll=False was tested)."""
+    tparams, tcfg = target
+    rng = np.random.RandomState(9)
+    prompt = rng.randint(2, 120, size=9).tolist()
+    ref = _target_greedy(tparams, tcfg, prompt, 13)
+    dec = SpeculativeDecoder(tparams, tcfg, tparams, tcfg, k=4, max_seq=256,
+                             prefill_buckets=(16,), rounds_per_call=3,
+                             unroll_layers=True, kv_dtype=jnp.float32)
+    assert dec.generate(prompt, 13) == ref
+
+
+def test_prompt_longer_than_configured_buckets(target):
+    """Buckets extend to max_seq: a prompt between the largest configured
+    bucket and max_seq must decode, not crash on bucket lookup."""
+    tparams, tcfg = target
+    rng = np.random.RandomState(10)
+    prompt = rng.randint(2, 120, size=40).tolist()     # > bucket 16
+    ref = _target_greedy(tparams, tcfg, prompt, 6)
+    dec = SpeculativeDecoder(tparams, tcfg, tparams, tcfg, k=4, max_seq=64,
+                             prefill_buckets=(16,), rounds_per_call=3,
+                             unroll_layers=False, kv_dtype=jnp.float32)
+    assert dec.buckets[-1] == 64
+    assert dec.generate(prompt, 6) == ref

@@ -28,16 +28,43 @@ def top_p_filter(logits, top_p):
     return jnp.where(logits < thresh, NEG_INF, logits)
 
 
-def sample_per_row(keys, logits, temperature, top_p):
+def sample_per_row(keys, logits, temperature, top_p, prefilter_k: int = 0):
     """Per-row sampling for the serving engines: temperature (B,) and
     top_p (B,) are DATA (each slot carries its request's values), keys is
     a (B,)-stacked key array (one independent stream per request). Rows
     with temperature == 0 decode greedily; others follow the reference
     order (scale by temperature, then nucleus-filter, then draw —
-    gill/models.py:494-515)."""
+    gill/models.py:494-515).
+
+    prefilter_k > 0 replaces the full-vocab sort with an EXACT top-k
+    prefilter: the nucleus threshold is computed from the top-k logits
+    (probabilities normalized over the full vocabulary), and a lax.cond
+    falls back to the full sort only when some row's nucleus does not fit
+    inside the top-k (e.g. extreme temperature flattening) — identical
+    results to the full sort, ~vocab/k less sorting work on the hot path."""
     lf = logits.astype(jnp.float32)
     t = jnp.maximum(temperature, 1e-6)[:, None]
-    filtered = top_p_filter(lf / t, top_p[:, None])
+    scaled = lf / t
+    tp = top_p[:, None]
+    if prefilter_k and prefilter_k < scaled.shape[-1]:
+        log_z = jax.scipy.special.logsumexp(scaled, axis=-1, keepdims=True)
+        vals, _ = jax.lax.top_k(scaled, prefilter_k)       # (B, K) desc
+        probs = jnp.exp(vals - log_z)                      # full-vocab norm
+        cum = jnp.cumsum(probs, axis=-1)
+        covered = cum[:, -1:] >= tp                        # nucleus in top-k?
+        keep = (cum - probs) <= tp
+        kth = jnp.maximum(keep.sum(axis=-1) - 1, 0)
+        thresh_k = jnp.take_along_axis(vals, kth[..., None], axis=-1)
+
+        def fast(_):
+            return jnp.where(scaled < thresh_k, NEG_INF, scaled)
+
+        def slow(_):
+            return top_p_filter(scaled, tp)
+
+        filtered = jax.lax.cond(jnp.all(covered), fast, slow, None)
+    else:
+        filtered = top_p_filter(scaled, tp)
     drawn = jax.vmap(jax.random.categorical)(keys, filtered)
     greedy = jnp.argmax(logits, axis=-1)
     return jnp.where(temperature > 0, drawn, greedy).astype(jnp.int32)

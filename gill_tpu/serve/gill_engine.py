@@ -216,7 +216,10 @@ class GillDecodeEngine:
 
     def _choose(self, logits, pos, temp, topp, seed):
         """Post-surgery token choice: greedy, or (sampling=True) per-slot
-        temperature/top-p with a stateless per-(seed, position) key."""
+        temperature/top-p with a stateless per-(seed, position) key.
+        (The exact top-k prefilter in sample_per_row measured a WASH here
+        — lax.top_k over the 50k vocab costs as much as the sort on v5e —
+        so the plain path stays the default; see ROADMAP.)"""
         if not self.sampling:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         from gill_tpu.ops.sampling import sample_per_row

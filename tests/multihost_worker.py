@@ -36,7 +36,7 @@ jax.config.update("jax_threefry_partitionable", True)
 os.environ.setdefault("GLOO_TIMEOUT_SECONDS", "300")
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                            num_processes=world, process_id=pid,
-                           initialization_timeout=300)
+                           initialization_timeout=600)
 assert jax.process_count() == world, jax.process_count()
 assert jax.device_count() == 4 * world, jax.device_count()
 assert jax.local_device_count() == 4

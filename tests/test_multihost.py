@@ -44,7 +44,7 @@ def test_two_process_train_validate_orbax(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=840)
+            out, _ = p.communicate(timeout=1500)
             outs.append(out)
     finally:
         for p in procs:

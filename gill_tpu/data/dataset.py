@@ -135,7 +135,9 @@ class TsvDataset:
                 return self._load_one(idx)
             except Exception as e:  # noqa: BLE001
                 print(f"Error reading {self.images[idx]}: {e}")
-                idx = int(rng.randint(0, len(self) - 1))
+                # exclusive upper bound: len(self) keeps the LAST sample
+                # reachable as a substitute (and len==1 would crash)
+                idx = int(rng.randint(0, len(self)))
 
 
 def get_dataset(args, split: str, tokenizer, img_token_ids) -> TsvDataset:
@@ -204,6 +206,19 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone — a
+            plain q.put on the full queue blocks forever after an early
+            consumer exit (one leaked thread + prefetched batches per
+            truncated epoch)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for b in range(nb):
@@ -211,9 +226,13 @@ class DataLoader:
                         return
                     batch_idx = indices[b * self.bs:(b + 1) * self.bs]
                     items = [self.ds.get(int(i), rng) for i in batch_idx]
-                    q.put(self._collate(items))
-            finally:
-                q.put(None)
+                    if not put(self._collate(items)):
+                        return
+            except Exception as e:  # noqa: BLE001 — surfaced to consumer;
+                # swallowing it here would end the epoch as if complete
+                put(("__error__", e))
+                return
+            put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -222,6 +241,10 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, tuple) and len(batch) == 2 \
+                        and batch[0] == "__error__":
+                    raise RuntimeError("data loader worker failed"
+                                       ) from batch[1]
                 yield batch
         finally:
             stop.set()

@@ -47,8 +47,18 @@ def generate_caption_tokens(core, params, pixels, prefix_ids,
     return np.where(valid, toks, core.pad_token_id).astype(np.int32)
 
 
-def decode_tokens(tokenizer, rows) -> list:
-    return [tokenizer.decode(r, skip_special_tokens=True) for r in rows]
+def decode_tokens(tokenizer, rows, strip_img_tokens: int = 0) -> list:
+    """strip_img_tokens=N removes the literal [IMG0..N) strings after
+    decode — the reference strips them from the BLEU ground-truth captions
+    (gill/validate.py:230-232); skip_special_tokens does NOT cover
+    add_tokens()-registered tokens, so without this every GT reference
+    carries an unmatchable [IMG] tail and BLEU is deflated."""
+    caps = [tokenizer.decode(r, skip_special_tokens=True) for r in rows]
+    if strip_img_tokens:
+        for i in range(strip_img_tokens):
+            caps = [c.replace(f"[IMG{i}]", "") for c in caps]
+        caps = [c.strip() for c in caps]
+    return caps
 
 
 def generate_captions(core, params, pixels, prefix_ids, tokenizer,
@@ -115,8 +125,10 @@ def validate(core, tc, adapters, frozen, val_loader, tokenizer,
         if decode_captions:
             toks = generate_caption_tokens(core, params, jb["pixels"],
                                            prefix_ids)
+            nt = core.cfg.num_tokens
             batch_gen = decode_tokens(tokenizer, gather(toks))
-            batch_gt = decode_tokens(tokenizer, gather(jb["ret_tokens"]))
+            batch_gt = decode_tokens(tokenizer, gather(jb["ret_tokens"]),
+                                     strip_img_tokens=nt)
             gen_caps.extend(batch_gen)
             gt_caps.extend(batch_gt)
             if i == 0 and writer is not None and jax.process_index() == 0:
@@ -128,7 +140,9 @@ def validate(core, tc, adapters, frozen, val_loader, tokenizer,
                 px = np.clip(np.asarray(jb["pixels"]) * CLIP_STD + CLIP_MEAN,
                              0, 1)
                 local_gen = decode_tokens(tokenizer, toks)
-                local_gt = decode_tokens(tokenizer, np.asarray(jb["ret_tokens"]))
+                local_gt = decode_tokens(tokenizer,
+                                         np.asarray(jb["ret_tokens"]),
+                                         strip_img_tokens=nt)
                 grid = caption_grid(px, local_gt, local_gen)
                 writer.add_image("val/images_captioning",
                                  grid.transpose(2, 0, 1), epoch + 1)

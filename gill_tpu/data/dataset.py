@@ -71,18 +71,21 @@ class TsvDataset:
         # when the toolchain is unavailable.
         pixels = None
         if self._use_native:
-            try:
-                from gill_tpu.native import decode_preprocess
-            except (ImportError, OSError) as e:
-                # Engine unavailable (no toolchain / bad binary): fall back
-                # to PIL, loudly ONCE so native-engine breakage is never
-                # silently masked (ADVICE r2).
-                decode_preprocess = None
+            from gill_tpu.native import (decode_preprocess,
+                                         image_engine_available)
+            if not image_engine_available():
+                # Engine unavailable (no toolchain / libs / build failure):
+                # fall back to PIL, loudly ONCE so native-engine breakage is
+                # never silently masked (ADVICE r2). The explicit
+                # availability probe matters: decode_preprocess returns None
+                # rather than raising, so an import-guard never fires.
+                self._use_native = False
                 if not TsvDataset._warned_native_fallback:
                     TsvDataset._warned_native_fallback = True
-                    print(f"gill_tpu: native image engine unavailable "
-                          f"({type(e).__name__}: {e}); using PIL", flush=True)
-            if decode_preprocess is not None:
+                    print("gill_tpu: native image engine unavailable; using "
+                          "PIL (GILL_NO_NATIVE_IMAGE=1 silences this)",
+                          flush=True)
+            else:
                 with open(image_path, "rb") as f:
                     raw = f.read()
                 try:
@@ -184,6 +187,14 @@ class DataLoader:
         idx = np.arange(len(self.ds))
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        if self.world > 1:
+            # Equalize per-rank counts by wrapping (torch DistributedSampler
+            # semantics): ragged tails give ranks different batch counts, and
+            # a collective eval step / process_allgather then hangs waiting
+            # on ranks that ran out of batches.
+            total = -(-len(idx) // self.world) * self.world
+            if total > len(idx):
+                idx = np.concatenate([idx, idx[:total - len(idx)]])
         return idx[self.rank::self.world]
 
     def __len__(self) -> int:
@@ -199,12 +210,24 @@ class DataLoader:
                 out[k] = np.stack([np.asarray(it[k]) for it in items])
         return out
 
+    def _load_item(self, i: int):
+        # Per-item RandomState: deterministic regardless of thread
+        # interleaving (the rng only draws bad-sample substitutes) and safe
+        # to use from pool workers (np RandomState is not thread-shareable).
+        r = np.random.RandomState(
+            (self.seed + 7919 * self.epoch + int(i)) % (2 ** 31))
+        return self.ds.get(int(i), r)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         indices = self._indices()
         nb = len(self)
-        rng = np.random.RandomState(self.seed + 7919 * self.epoch)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        pool = None
+        if self.num_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(self.num_threads,
+                                      thread_name_prefix="gill-data")
 
         def put(item) -> bool:
             """Bounded put that gives up when the consumer is gone — a
@@ -225,7 +248,10 @@ class DataLoader:
                     if stop.is_set():
                         return
                     batch_idx = indices[b * self.bs:(b + 1) * self.bs]
-                    items = [self.ds.get(int(i), rng) for i in batch_idx]
+                    if pool is not None:
+                        items = list(pool.map(self._load_item, batch_idx))
+                    else:
+                        items = [self._load_item(i) for i in batch_idx]
                     if not put(self._collate(items)):
                         return
             except Exception as e:  # noqa: BLE001 — surfaced to consumer;
@@ -248,6 +274,8 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+            if pool is not None:
+                pool.shutdown(wait=False)
 
 
 def make_stub_dataset(root: str, n: int = 8, image_size: int = 32,

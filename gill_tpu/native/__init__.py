@@ -163,6 +163,17 @@ def _load_image_lib():
         return _IMG_LIB
 
 
+def image_engine_available() -> bool:
+    """True when the native decode engine is loadable (toolchain + libjpeg/
+    libpng present, build succeeded). decode_preprocess returns None BOTH
+    for an unavailable engine and for an unrecognized file format, so
+    callers that want to warn about engine breakage (rather than silently
+    eating the PIL-path perf loss forever) must ask this explicitly."""
+    if os.environ.get("GILL_NO_NATIVE_IMAGE") == "1":
+        return False
+    return _load_image_lib() is not None
+
+
 def decode_preprocess(data: bytes, image_size: int, mean, std):
     """JPEG/PNG bytes -> CLIP-normalized float32 (S, S, 3), or None when the
     native engine is unavailable / the format unrecognized (callers fall

@@ -69,28 +69,49 @@ class RetrievalIndex:
             self.matrix = jnp.asarray(mat)
         self._topk = jax.jit(self._topk_impl, static_argnames=("k",))
 
-    def _topk_impl(self, queries, downweight_mask, k: int):
-        """queries (B, D) normalized; downweight_mask (B, N_padded) float
-        added to scores (seen images get -1000, padding -inf)."""
+    def _topk_impl(self, queries, seen_ids, k: int):
+        """queries (B, D) normalized; seen_ids (B, S) int32 rows to
+        downweight by -1000 (repeats stack, matching the reference's
+        additive -1000 per occurrence), -1 = unused slot. The padding /
+        downweight mask is built ON DEVICE from the id list — a dense
+        (B, N) host-built float mask is ~13 MB per query row at CC3M
+        scale, paid in host time and PCIe per call."""
         n_pad = self.matrix.shape[0]
         if self.mesh is not None:
             shards = self.mesh.shape["data"]
             if n_pad // shards >= k:
-                return self._topk_shard_merge(queries, downweight_mask, k)
-        scores = queries @ self.matrix.T + downweight_mask
+                return self._topk_shard_merge(queries, seen_ids, k)
+        scores = queries @ self.matrix.T
+        if n_pad > self.n:
+            scores = jnp.where(jnp.arange(n_pad)[None, :] < self.n,
+                               scores, -jnp.inf)
+        b = queries.shape[0]
+        scores = scores.at[
+            jnp.arange(b)[:, None], jnp.clip(seen_ids, 0)
+        ].add(jnp.where(seen_ids >= 0, -1000.0, 0.0))
         return jax.lax.top_k(scores, k)
 
-    def _topk_shard_merge(self, queries, downweight_mask, k: int):
+    def _topk_shard_merge(self, queries, seen_ids, k: int):
         """Local top-k per index shard + global merge over gathered
         (shards*k) candidates — the collective moves O(shards*k) floats
         instead of the full (B, N) score matrix."""
         from jax.experimental.shard_map import shard_map
 
-        def local(q, m, msk):
-            # q (B, D) replicated; m (ns, D), msk (B, ns) = this shard
-            s = q @ m.T + msk
+        n_real = self.n
+
+        def local(q, m, seen):
+            # q (B, D), seen (B, S) replicated; m (ns, D) = this shard
+            ns = m.shape[0]
+            off = jax.lax.axis_index("data") * ns
+            rows = off + jnp.arange(ns)
+            s = q @ m.T
+            s = jnp.where((rows < n_real)[None, :], s, -jnp.inf)
+            # -1000 per seen hit landing in this shard's row range; the
+            # (B, S, ns) compare fuses into the reduce (never materialized)
+            s = s - 1000.0 * jnp.sum(
+                seen[:, :, None] == rows[None, None, :], axis=1)
             v, i = jax.lax.top_k(s, k)  # (B, k) shard-local
-            gi = i + jax.lax.axis_index("data") * m.shape[0]
+            gi = i + off
             v = jax.lax.all_gather(v, "data", axis=1, tiled=True)
             gi = jax.lax.all_gather(gi, "data", axis=1, tiled=True)
             vv, pos = jax.lax.top_k(v, k)  # merge (B, shards*k) -> (B, k)
@@ -98,18 +119,9 @@ class RetrievalIndex:
 
         return shard_map(
             local, mesh=self.mesh,
-            in_specs=(P(None, None), P("data", None), P(None, "data")),
+            in_specs=(P(None, None), P("data", None), P(None, None)),
             out_specs=(P(None, None), P(None, None)),
-            check_rep=False)(queries, self.matrix, downweight_mask)
-
-    def _mask(self, seen_idx: Sequence[int]) -> np.ndarray:
-        n_pad = self.matrix.shape[0]
-        mask = np.zeros((n_pad,), np.float32)
-        if n_pad > self.n:
-            mask[self.n:] = -np.inf
-        for i in seen_idx:
-            mask[int(i)] -= 1000.0
-        return mask
+            check_rep=False)(queries, self.matrix, seen_ids)
 
     def topk(self, query: np.ndarray, k: int = 3,
              seen_idx: Sequence[int] = ()) -> Tuple[np.ndarray, np.ndarray]:
@@ -129,8 +141,18 @@ class RetrievalIndex:
         b = queries.shape[0]
         if seen_idx is None:
             seen_idx = [()] * b
-        mask = np.stack([self._mask(s) for s in seen_idx])
-        scores, idx = self._topk(jnp.asarray(queries), jnp.asarray(mask), k)
+        # Pack seen ids into a (B, S) int32 block, S rounded to a power of
+        # two so the jit cache sees few shapes (-1 = unused slot); the
+        # actual mask is built on device in _topk_impl.
+        s_max = max((len(s) for s in seen_idx), default=0)
+        s_pad = 1
+        while s_pad < s_max:
+            s_pad *= 2
+        seen = np.full((b, s_pad), -1, np.int32)
+        for i, s in enumerate(seen_idx):
+            if len(s):
+                seen[i, :len(s)] = np.asarray(list(s), np.int32)
+        scores, idx = self._topk(jnp.asarray(queries), jnp.asarray(seen), k)
         return np.asarray(scores), np.asarray(idx)
 
     def scores_for(self, query: np.ndarray, idx: Sequence[int]) -> np.ndarray:

@@ -39,6 +39,12 @@ cache-bandwidth-bound, not per-active-slot), so freezing it early would
 save nothing, and its outputs are simply discarded. Device-side EOS does
 freeze the slot so positions stop advancing (outputs after EOS are pads).
 
+Prefix caching: register_prefix() prefills a shared prompt prefix once and
+caches its KV rows; requests carrying the returned prefix_id prefill only
+their suffix at a static offset (the nonzero-int cache_pos path in
+models/opt.py forward). Chat workloads with a common system/context prompt
+pay the shared tokens' prefill compute and weight stream exactly once.
+
 Greedy decode only (the serving default here and in the reference demo);
 EOS and per-request max_new_tokens both end a request.
 """
@@ -59,8 +65,13 @@ from gill_tpu.models import opt as opt_mod
 @dataclass
 class ServeRequest:
     uid: int
-    prompt: List[int]              # token ids, already tokenized
+    prompt: List[int]              # token ids, already tokenized (FULL
+                                   # prompt, including any shared prefix)
     max_new_tokens: int
+    prefix_id: Optional[int] = None  # from DecodeEngine.register_prefix:
+                                     # prompt must start with that prefix's
+                                     # tokens; prefill then computes only
+                                     # the suffix
 
 
 @dataclass
@@ -134,8 +145,11 @@ class DecodeEngine:
             self.cache = jax.device_put(self.cache, cache_sh)
         self._dstate = None            # device {"pos","tok","active"}
         self._state: List[Optional[_SlotState]] = [None] * slots
+        self._prefixes: Dict[int, dict] = {}
+        self._next_prefix_id = 0
         self.stats = {"prefills": 0, "prefill_reqs": 0, "chunks": 0,
-                      "decode_steps": 0, "tokens_out": 0}
+                      "decode_steps": 0, "tokens_out": 0,
+                      "prefix_hits": 0, "prefix_tokens_saved": 0}
 
     def _ctx(self):
         if self.mesh is None:
@@ -231,6 +245,102 @@ class DecodeEngine:
 
         return prefill
 
+    # -- prefix caching -------------------------------------------------------
+
+    def register_prefix(self, tokens: List[int]) -> int:
+        """Prefill a shared prompt prefix ONCE and cache its KV rows
+        device-side; requests whose prompt starts with these tokens pass the
+        returned id as ServeRequest.prefix_id and pay prefill compute only
+        for their suffix (vLLM-style prefix caching, restricted to explicit
+        registration — no content hashing). Memory: L*2*H*Dh*2 bytes/token
+        (~0.3 MB/token at opt-2.7b bf16) per registered prefix.
+
+        The suffix prefill runs at a STATIC offset equal to the prefix
+        length, so each distinct registered length compiles one program
+        variant per (suffix bucket, wave size) on first use."""
+        tokens = [int(t) for t in tokens]
+        if not 1 <= len(tokens) < self.max_seq:
+            raise ValueError(f"prefix length {len(tokens)} must be in "
+                             f"[1, max_seq={self.max_seq})")
+        with self._ctx():
+            kv = self._prefix_kv_fn(
+                self.params, jnp.asarray([tokens], jnp.int32),
+                plen=len(tokens))
+            jax.block_until_ready(kv["k"])
+        pid = self._next_prefix_id
+        self._next_prefix_id += 1
+        self._prefixes[pid] = {"tokens": tokens, "k": kv["k"], "v": kv["v"]}
+        return pid
+
+    @functools.cached_property
+    def _prefix_kv_fn(self):
+        cfg = self.cfg
+        kv_dtype = self.cache["k"].dtype
+
+        @functools.partial(jax.jit, static_argnames=("plen",))
+        def run(params, tokens, *, plen):
+            # tokens (1, plen) exact — no bucket padding: the suffix
+            # prefill's kv_offset mask treats every row < offset as valid,
+            # so padded zero-KV rows would be attended, not masked.
+            emb = opt_mod.embed_tokens(params, tokens)
+            small = opt_mod.init_cache(cfg, 1, plen, dtype=kv_dtype)
+            out = opt_mod.forward(params, cfg, emb, cache=small, cache_pos=0,
+                                  unroll_layers=False, skip_logits=True)
+            return {"k": out["cache"]["k"], "v": out["cache"]["v"]}
+
+        return run
+
+    @functools.cached_property
+    def _prefix_prefill_fn(self):
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, static_argnames=("pfx", "plen", "nreq"),
+                           donate_argnums=(1, 2))
+        def prefill(params, cache, state, pk, pv, tokens, true_len,
+                    slot_ids, *, pfx, plen, nreq):
+            # Suffix prefill at static offset pfx: tokens (R, P) are the
+            # SUFFIX ids; pk/pv (L, 1, pfx, H, Dh) are the shared prefix's
+            # cached KV rows, broadcast across the wave. models/opt.py's
+            # nonzero-int cache_pos path attends the suffix queries over
+            # [prefix rows | causal suffix] and returns the fully planted
+            # small cache; true_len counts SUFFIX tokens.
+            del plen, nreq
+            r = tokens.shape[0]
+            emb = opt_mod.embed_tokens(params, tokens)
+            small = opt_mod.init_cache(cfg, r, pfx + tokens.shape[1],
+                                       dtype=cache["k"].dtype)
+            for key, rows in (("k", pk), ("v", pv)):
+                small[key] = small[key].at[:, :, :pfx].set(
+                    jnp.broadcast_to(
+                        rows.astype(small[key].dtype),
+                        (cfg.num_layers, r, pfx) + rows.shape[3:]))
+            out = opt_mod.forward(params, cfg, emb, cache=small,
+                                  cache_pos=pfx, unroll_layers=False,
+                                  skip_logits=True)
+            h_last = jnp.take_along_axis(
+                out["last_hidden"], true_len[:, None, None] - 1,
+                axis=1)[:, 0]
+            head = params["embed_tokens"]["weight"]
+            logits = jax.lax.dot_general(
+                h_last, head.astype(h_last.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            new_cache = {}
+            for key in cache:
+                rows = out["cache"][key]          # (L, R, pfx+P, H, Dh)
+                new_cache[key] = cache[key].at[
+                    :, slot_ids, :rows.shape[2]].set(
+                    rows.astype(cache[key].dtype), mode="drop")
+            state = {"pos": state["pos"].at[slot_ids].set(pfx + true_len,
+                                                          mode="drop"),
+                     "tok": state["tok"].at[slot_ids].set(first,
+                                                          mode="drop"),
+                     "active": state["active"].at[slot_ids].set(True,
+                                                                mode="drop")}
+            return new_cache, state, first
+
+        return prefill
+
     @functools.cached_property
     def _chunk_fn(self):
         cfg, unroll = self.cfg, self.unroll
@@ -291,15 +401,42 @@ class DecodeEngine:
                 raise ValueError(
                     f"request {req.uid}: {plen}+{req.max_new_tokens} exceeds "
                     f"max_seq {self.max_seq}")
+            if req.prefix_id is not None:
+                pfx = self._prefixes.get(req.prefix_id)
+                if pfx is None:
+                    raise ValueError(f"request {req.uid}: unknown prefix_id "
+                                     f"{req.prefix_id}")
+                n = len(pfx["tokens"])
+                if plen <= n or req.prompt[:n] != pfx["tokens"]:
+                    raise ValueError(
+                        f"request {req.uid}: prompt must extend prefix "
+                        f"{req.prefix_id} ({n} tokens) by >= 1 token")
             wave.append((s, req))
         if not wave:
             return
-        pb = max(_bucket(len(req.prompt), self.buckets) for _, req in wave)
-        nreq = self._rbucket(len(wave))
+        # One batched prefill launch per prefix group (requests without a
+        # prefix share one group). Grouping keeps the static-offset suffix
+        # programs simple; mixed-prefix refill waves are rare by design
+        # (a shared prefix implies a shared workload).
+        groups: Dict[Optional[int], list] = {}
+        for s, req in wave:
+            groups.setdefault(req.prefix_id, []).append((s, req))
+        for pid, grp in groups.items():
+            if pid is None:
+                self._prefill_wave(grp)
+            else:
+                self._prefill_prefix_wave(pid, grp)
+        for s, req in wave:
+            self._state[s] = _SlotState(uid=req.uid, pos=len(req.prompt),
+                                        max_new=req.max_new_tokens)
+
+    def _prefill_wave(self, grp):
+        pb = max(_bucket(len(req.prompt), self.buckets) for _, req in grp)
+        nreq = self._rbucket(len(grp))
         toks = np.full((nreq, pb), self.pad_id, np.int32)
         lens = np.ones((nreq,), np.int32)
         slot_ids = np.full((nreq,), self.slots, np.int32)   # OOB -> dropped
-        for i, (s, req) in enumerate(wave):
+        for i, (s, req) in enumerate(grp):
             toks[i, :len(req.prompt)] = req.prompt
             lens[i] = len(req.prompt)
             slot_ids[i] = s
@@ -308,10 +445,34 @@ class DecodeEngine:
             jnp.asarray(lens), jnp.asarray(slot_ids), plen=pb, nreq=nreq)
         self.stats["prefills"] += 1
         self.stats["prefill_reqs"] = (self.stats.get("prefill_reqs", 0)
-                                      + len(wave))
-        for s, req in wave:
-            self._state[s] = _SlotState(uid=req.uid, pos=len(req.prompt),
-                                        max_new=req.max_new_tokens)
+                                      + len(grp))
+
+    def _prefill_prefix_wave(self, pid: int, grp):
+        pfx = self._prefixes[pid]
+        n_pfx = len(pfx["tokens"])
+        suffixes = [req.prompt[n_pfx:] for _, req in grp]
+        pb = max(_bucket(len(sfx), self.buckets) for sfx in suffixes)
+        if n_pfx + pb > self.max_seq:
+            raise ValueError(
+                f"prefix {pid} ({n_pfx}) + suffix bucket {pb} exceeds "
+                f"max_seq {self.max_seq}; use a smaller suffix bucket")
+        nreq = self._rbucket(len(grp))
+        toks = np.full((nreq, pb), self.pad_id, np.int32)
+        lens = np.ones((nreq,), np.int32)
+        slot_ids = np.full((nreq,), self.slots, np.int32)   # OOB -> dropped
+        for i, ((s, _), sfx) in enumerate(zip(grp, suffixes)):
+            toks[i, :len(sfx)] = sfx
+            lens[i] = len(sfx)
+            slot_ids[i] = s
+        self.cache, self._dstate, _ = self._prefix_prefill_fn(
+            self.params, self.cache, self._dstate, pfx["k"], pfx["v"],
+            jnp.asarray(toks), jnp.asarray(lens), jnp.asarray(slot_ids),
+            pfx=n_pfx, plen=pb, nreq=nreq)
+        self.stats["prefills"] += 1
+        self.stats["prefill_reqs"] = (self.stats.get("prefill_reqs", 0)
+                                      + len(grp))
+        self.stats["prefix_hits"] += len(grp)
+        self.stats["prefix_tokens_saved"] += n_pfx * len(grp)
 
     def _collect(self, toks: np.ndarray):
         """Fold one chunk's tokens into per-slot results; close finished
@@ -407,11 +568,13 @@ class DecodeEngine:
         budget-overshoot waste without paying more syncs.
 
         EOS (when set) stays correct — the device freezes the slot and the
-        collector stops at the EOS token — but the PLANNER does not learn
-        about it until collection, so an early-EOS-heavy workload refills
-        late and run() may schedule tighter. For closed-budget generation
-        (the reference's fixed num_words decode, gill/models.py:443-464)
-        this scheduler strictly dominates."""
+        collector stops at the EOS token — and the planner is EOS-AWARE
+        with a lag of at most `depth` chunks: a slot whose collected block
+        contained the EOS retires immediately (st.done) instead of waiting
+        for its full token budget to be dispatched, so early-EOS-heavy
+        workloads refill within `depth` chunks of the EOS landing. For
+        closed-budget generation (the reference's fixed num_words decode,
+        gill/models.py:443-464) this scheduler strictly dominates run()."""
         queue = list(requests)
         results: Dict[int, List[int]] = {}
         from collections import deque
@@ -422,9 +585,14 @@ class DecodeEngine:
             self._state = [None] * self.slots
             while True:
                 # retire slots whose budget is covered by dispatched chunks
+                # OR whose request already finished at collection (EOS seen
+                # in a collected block): pending blocks for the old request
+                # skip it via the done flag, and the refill prefill
+                # overwrites the frozen slot
                 for s in range(self.slots):
                     st = self._state[s]
-                    if st is not None and st.planned >= st.max_new:
+                    if st is not None and (st.done
+                                           or st.planned >= st.max_new):
                         self._state[s] = None
                 self._refill(queue)
                 active = [s for s in range(self.slots)

@@ -4,8 +4,15 @@ Endpoints:
   GET  /healthz        -> {"ok": true}
   GET  /stats          -> engine counters (prefills, chunks, tokens_out, ...)
   POST /v1/generate    -> body {"prompt": [int ids]} or {"text": "..."}
-                          plus "max_new_tokens" (int, default 64) and
-                          "stream" (bool, default false).
+                          plus "max_new_tokens" (int, default 64),
+                          "stream" (bool, default false), and optional
+                          "prefix_id" (from /v1/prefix; the prompt must
+                          start with that prefix's tokens).
+  POST /v1/prefix      -> body {"prompt": [int ids]} or {"text": "..."};
+                          prefills the shared prefix once and returns
+                          {"prefix_id": id, "len": n} — subsequent
+                          /v1/generate calls with that prefix_id skip the
+                          shared tokens' prefill (prefix caching).
        non-stream: one JSON object {"tokens": [...], "text": "..."}.
        stream:     chunked NDJSON — one {"token": id, "text": piece} line
                    per generated token as it leaves the scheduler, then a
@@ -131,9 +138,34 @@ def make_server(online: Optional[OnlineEngine] = None, tokenizer=None,
             self.wfile.write(f"{len(data):x}\r\n".encode())
             self.wfile.write(data + b"\r\n")
 
+        def _prompt_ids(self, req):
+            if "prompt" in req:
+                return [int(t) for t in req["prompt"]]
+            if "text" in req:
+                if tokenizer is None:
+                    raise ValueError(
+                        "'text' requires a server-side tokenizer; "
+                        "send token ids via 'prompt'")
+                return list(tokenizer.encode(req["text"]))
+            raise ValueError("need 'prompt' (ids) or 'text'")
+
         def do_POST(self):
-            if self.path not in ("/v1/generate", "/v1/gill"):
+            if self.path not in ("/v1/generate", "/v1/gill", "/v1/prefix"):
                 self._json(404, {"error": f"no route {self.path}"})
+                return
+            if self.path == "/v1/prefix":
+                if online is None:
+                    self._json(404, {"error": "no LM engine mounted"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    ids = self._prompt_ids(req)
+                    pid = online.register_prefix(ids)
+                    self._json(200, {"prefix_id": pid, "len": len(ids)})
+                except (ValueError, KeyError, TypeError, RuntimeError,
+                        json.JSONDecodeError) as e:
+                    self._json(400, {"error": str(e)})
                 return
             if self.path == "/v1/gill":
                 if gill is None:
@@ -155,18 +187,12 @@ def make_server(online: Optional[OnlineEngine] = None, tokenizer=None,
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                if "prompt" in req:
-                    prompt = [int(t) for t in req["prompt"]]
-                elif "text" in req:
-                    if tokenizer is None:
-                        raise ValueError(
-                            "'text' requires a server-side tokenizer; "
-                            "send token ids via 'prompt'")
-                    prompt = list(tokenizer.encode(req["text"]))
-                else:
-                    raise ValueError("need 'prompt' (ids) or 'text'")
+                prompt = self._prompt_ids(req)
                 max_new = int(req.get("max_new_tokens", 64))
-                handle = online.submit(prompt, max_new)
+                pid = req.get("prefix_id")
+                handle = online.submit(prompt, max_new,
+                                       prefix_id=None if pid is None
+                                       else int(pid))
             except (ValueError, KeyError, TypeError,
                     json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})

@@ -39,6 +39,7 @@ class RequestHandle:
         self.uid = uid
         self.prompt = prompt
         self.max_new = max_new
+        self.prefix_id: Optional[int] = None
         self.tokens: List[int] = []
         self.done = threading.Event()
         self.cond = threading.Condition()
@@ -66,6 +67,17 @@ class RequestHandle:
                 if self.error:
                     raise RuntimeError(self.error)
                 return
+
+
+class _PrefixReg:
+    """Prefix-registration ticket, processed by the scheduler thread (only
+    that thread may touch the engine/device)."""
+
+    def __init__(self, tokens: List[int]):
+        self.tokens = tokens
+        self.pid: Optional[int] = None
+        self.error: Optional[str] = None
+        self.done = threading.Event()
 
 
 class GillRequestHandle(RequestHandle):
@@ -153,13 +165,45 @@ class OnlineEngine(_ThreadedEngine):
 
     _thread_name = "lm-serve-scheduler"
 
-    def submit(self, prompt: List[int], max_new_tokens: int) -> RequestHandle:
+    def submit(self, prompt: List[int], max_new_tokens: int, *,
+               prefix_id: Optional[int] = None) -> RequestHandle:
         if len(prompt) + max_new_tokens > self.eng.max_seq:
             raise ValueError(
                 f"{len(prompt)}+{max_new_tokens} exceeds max_seq "
                 f"{self.eng.max_seq}")
-        return self._register(RequestHandle(next(self._uid), list(prompt),
-                                            max_new_tokens))
+        if prefix_id is not None:
+            # Admission-time validation: a bad prefix reference must fail
+            # THIS caller, not crash the scheduler at refill time.
+            pfx = self.eng._prefixes.get(prefix_id)
+            if pfx is None:
+                raise ValueError(f"unknown prefix_id {prefix_id}")
+            n = len(pfx["tokens"])
+            if len(prompt) <= n or list(prompt[:n]) != pfx["tokens"]:
+                raise ValueError(
+                    f"prompt must extend prefix {prefix_id} ({n} tokens) "
+                    f"by >= 1 token")
+        h = RequestHandle(next(self._uid), list(prompt), max_new_tokens)
+        h.prefix_id = prefix_id
+        return self._register(h)
+
+    def register_prefix(self, tokens: List[int]) -> int:
+        """Register a shared prompt prefix (DecodeEngine.register_prefix)
+        via the scheduler thread — it alone touches the engine/device.
+        Blocks until the prefix KV is cached; returns the id for submit()."""
+        if not 1 <= len(tokens) < self.eng.max_seq:
+            raise ValueError(f"prefix length {len(tokens)} must be in "
+                             f"[1, max_seq={self.eng.max_seq})")
+        reg = _PrefixReg([int(t) for t in tokens])
+        with self._lock:
+            if self._stop:
+                raise RuntimeError("engine closed")
+            self._q.put(reg)
+        while not reg.done.wait(0.2):
+            if not self._thread.is_alive():
+                raise RuntimeError("engine closed")
+        if reg.error:
+            raise RuntimeError(reg.error)
+        return reg.pid
 
     def _deliver(self):
         """Push engine-side progress out to the handles (called after each
@@ -197,9 +241,21 @@ class OnlineEngine(_ThreadedEngine):
                 self._drain_queue(waiting, block=idle)
                 if self._stop:
                     break
+                regs = [w for w in waiting if isinstance(w, _PrefixReg)]
+                if regs:
+                    waiting = [w for w in waiting
+                               if not isinstance(w, _PrefixReg)]
+                    for rg in regs:
+                        try:
+                            rg.pid = eng.register_prefix(rg.tokens)
+                        except Exception as e:  # noqa: BLE001 — fails the
+                            # registering caller, not the scheduler
+                            rg.error = f"{type(e).__name__}: {e}"
+                        rg.done.set()
                 if waiting:
                     reqs = [ServeRequest(uid=h.uid, prompt=h.prompt,
-                                         max_new_tokens=h.max_new)
+                                         max_new_tokens=h.max_new,
+                                         prefix_id=h.prefix_id)
                             for h in waiting]
                     eng._refill(reqs)
                     taken = len(waiting) - len(reqs)

@@ -3,10 +3,11 @@
 Per batch, all three modes run with the "A picture of" prefix; captioning
 additionally greedy-decodes captions for BLEU-1..4; retrieval embeddings
 accumulate across the whole val set for full-matrix top-1/5 in both
-directions (the model-selection metric, validate.py:343). The reference's
-cross-rank all_gathers (validate.py:94-155) are unnecessary: metrics come
-out of the SPMD eval step already globally reduced, and the (N,256)
-embedding accumulation is host-side.
+directions (the model-selection metric, validate.py:343). Loss metrics come
+out of the SPMD eval step already globally reduced; only the (N, 256)
+embedding accumulation and caption tokens need the reference's cross-rank
+gathers (validate.py:94-155), done here with one process_allgather per
+batch over each host's local rows.
 """
 
 from __future__ import annotations
@@ -17,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gill_tpu.parallel.partition import host_local_rows
 from gill_tpu.train.bleu import bleu_score
 from gill_tpu.train.trainer import make_eval_step
 from gill_tpu.utils.meters import AverageMeter, ProgressMeter
@@ -42,8 +44,12 @@ def generate_caption_tokens(core, params, pixels, prefix_ids,
     out = core.generate(params, embs, num_words=num_words,
                         min_word_tokens=num_words, temperature=0.0,
                         max_img_runs=1)
-    toks = np.asarray(out["tokens"])
-    valid = np.asarray(out["valid"])
+    # host_local_rows: under a multi-controller mesh the generate outputs
+    # are GLOBAL batch-sharded arrays (np.asarray would raise on
+    # non-addressable shards); each host keeps its own rows and the caller's
+    # process_allgather reassembles the global order.
+    toks = host_local_rows(out["tokens"])
+    valid = host_local_rows(out["valid"])
     return np.where(valid, toks, core.pad_token_id).astype(np.int32)
 
 
@@ -68,12 +74,42 @@ def generate_captions(core, params, pixels, prefix_ids, tokenizer,
     return decode_tokens(tokenizer, toks)
 
 
+# (core, tc, prefix) -> (core, tc, eval_step, ret_fn). Strong refs to the
+# key objects keep their ids stable; without this cache every validate()
+# call re-jits the eval step and retrieval forward (one full recompile per
+# epoch).
+_EVAL_FN_CACHE: dict = {}
+
+
+def _get_eval_fns(core, tc, prefix_ids):
+    key = (id(core), id(tc),
+           tuple(int(x) for x in prefix_ids) if prefix_ids is not None
+           else None)
+    hit = _EVAL_FN_CACHE.get(key)
+    if hit is not None and hit[0] is core and hit[1] is tc:
+        return hit[2], hit[3]
+    pj = jnp.asarray(prefix_ids) if prefix_ids is not None else None
+    eval_step = make_eval_step(core, tc, prefix_ids=pj)
+    ret_fn = jax.jit(lambda p, px, t, l: core.forward(
+        p, px, t, l, mode="retrieval", prefix_ids=pj))
+    _EVAL_FN_CACHE[key] = (core, tc, eval_step, ret_fn)
+    return eval_step, ret_fn
+
+
 def validate(core, tc, adapters, frozen, val_loader, tokenizer,
              epoch: int = 0, writer=None, prefix_ids=None,
              max_steps: Optional[int] = None,
-             decode_captions: bool = True) -> float:
-    eval_step = make_eval_step(core, tc, prefix_ids=jnp.asarray(prefix_ids)
-                               if prefix_ids is not None else None)
+             decode_captions: bool = True, put_batch=None) -> float:
+    """`put_batch` maps a host-local numpy batch dict onto device arrays;
+    multi-host callers pass main.py's globalizing put_batch (every process
+    contributes its shard of one GLOBAL batch-sharded array — a bare
+    jnp.asarray makes host-local arrays, which silently evaluates each
+    host's shard as if it were the whole batch under a multi-controller
+    mesh). Defaults to plain device puts for single-process runs."""
+    eval_step, ret_fn = _get_eval_fns(core, tc, prefix_ids)
+    if put_batch is None:
+        def put_batch(batch):
+            return {k: jnp.asarray(v) for k, v in batch.items()}
 
     meters = {k: AverageMeter(k, ":.4f") for k in
               ("loss", "cap_ce", "ret_ce", "gen_ce", "cont_loss", "gen_l2",
@@ -86,9 +122,6 @@ def validate(core, tc, adapters, frozen, val_loader, tokenizer,
 
     params = {"lm": frozen["lm"], "vision": frozen["vision"],
               "adapters": adapters}
-    ret_fn = jax.jit(lambda p, px, t, l: core.forward(
-        p, px, t, l, mode="retrieval",
-        prefix_ids=jnp.asarray(prefix_ids) if prefix_ids is not None else None))
 
     # Cross-process gathers replace the reference's per-batch NCCL
     # all_gathers (validate.py:94-155): every host sees the global embedding
@@ -97,8 +130,6 @@ def validate(core, tc, adapters, frozen, val_loader, tokenizer,
     world = jax.process_count()
     if world > 1:
         from jax.experimental import multihost_utils
-
-        from gill_tpu.parallel.partition import host_local_rows
 
         def gather(x):
             g = np.asarray(
@@ -112,7 +143,7 @@ def validate(core, tc, adapters, frozen, val_loader, tokenizer,
             break
         paths = batch.pop("path", None)
         cap_imgs = batch.pop("caption_img", None)
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        jb = put_batch(batch)
         metrics = eval_step(adapters, frozen, jb, concat=False)
         for k, m in meters.items():
             if k in metrics:
@@ -137,11 +168,12 @@ def validate(core, tc, adapters, frozen, val_loader, tokenizer,
                 from gill_tpu.utils.image import (CLIP_MEAN, CLIP_STD,
                                                   caption_grid)
 
-                px = np.clip(np.asarray(jb["pixels"]) * CLIP_STD + CLIP_MEAN,
-                             0, 1)
+                px = np.clip(
+                    host_local_rows(jb["pixels"]) * CLIP_STD + CLIP_MEAN,
+                    0, 1)
                 local_gen = decode_tokens(tokenizer, toks)
                 local_gt = decode_tokens(tokenizer,
-                                         np.asarray(jb["ret_tokens"]),
+                                         host_local_rows(jb["ret_tokens"]),
                                          strip_img_tokens=nt)
                 grid = caption_grid(px, local_gt, local_gen)
                 writer.add_image("val/images_captioning",

@@ -334,7 +334,7 @@ def main(argv):
                         tokenizer, epoch=epoch, writer=writer,
                         prefix_ids=prefix_ids,
                         max_steps=tc.val_steps_per_epoch,
-                        decode_captions=True)
+                        decode_captions=True, put_batch=put_batch)
 
     if args.evaluate:
         run_validate(args.start_epoch)

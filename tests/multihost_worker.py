@@ -108,12 +108,23 @@ assert all_losses.shape == (world, 2), all_losses.shape
 np.testing.assert_allclose(all_losses, all_losses[:1].repeat(world, 0),
                            rtol=1e-6)
 
-# ---- REAL validate(): cross-process process_allgather of features ----
-val_loader = [batch, batch]  # already-global arrays; 2 "batches"
+# ---- REAL validate(): host-local batches globalized via put_batch, then
+# cross-process process_allgather of features (main.py feeds validate the
+# same put_batch it trains with) ----
+local_batch = {k: v[pid * per:(pid + 1) * per]
+               for k, v in global_batch.items()}
+
+
+def put_batch(b):
+    return {k: jax.make_array_from_process_local_data(b_sh, np.asarray(v))
+            for k, v in b.items()}
+
+
+val_loader = [dict(local_batch), dict(local_batch)]  # 2 "batches"
 with jax.sharding.set_mesh(mesh):
     top1 = validate(core, tc, state.adapters, frozen_g, val_loader,
                     tokenizer=None, epoch=0, writer=None, max_steps=2,
-                    decode_captions=False)
+                    decode_captions=False, put_batch=put_batch)
 assert np.isfinite(top1), top1
 
 # ---- Orbax save/restore of the mesh-sharded train state ----

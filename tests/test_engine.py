@@ -227,3 +227,89 @@ def test_engine_tp_mesh_matches_single_device(tiny):
                            prefill_buckets=(16,), unroll_layers=False,
                            kv_dtype=jnp.float32, mesh=mesh).run(reqs)
     assert single == sharded
+
+
+def test_engine_prefix_caching_matches_full_prefill(tiny):
+    """Requests carrying a registered prefix_id must produce exactly the
+    tokens of a full-prompt prefill — the cached prefix KV + static-offset
+    suffix prefill is a pure optimization."""
+    params, cfg = tiny
+    rng = np.random.RandomState(9)
+    prefix = rng.randint(2, 120, size=11).tolist()
+    suffixes = [rng.randint(2, 120, size=int(rng.randint(1, 9))).tolist()
+                for _ in range(6)]
+    full_reqs = [ServeRequest(uid=i, prompt=prefix + sfx, max_new_tokens=6)
+                 for i, sfx in enumerate(suffixes)]
+
+    plain = DecodeEngine(params, cfg, slots=3, max_seq=64, chunk=4,
+                         prefill_buckets=(8, 32), unroll_layers=False,
+                         kv_dtype=jnp.float32).run(full_reqs)
+
+    eng = DecodeEngine(params, cfg, slots=3, max_seq=64, chunk=4,
+                       prefill_buckets=(8, 32), unroll_layers=False,
+                       kv_dtype=jnp.float32)
+    pid = eng.register_prefix(prefix)
+    pfx_reqs = [ServeRequest(uid=i, prompt=prefix + sfx, max_new_tokens=6,
+                             prefix_id=pid)
+                for i, sfx in enumerate(suffixes)]
+    cached = eng.run(pfx_reqs)
+    assert cached == plain
+    assert eng.stats["prefix_hits"] == len(suffixes)
+    assert eng.stats["prefix_tokens_saved"] == len(prefix) * len(suffixes)
+    # pipelined scheduler takes the same path
+    piped = eng.run_pipelined(pfx_reqs)
+    assert piped == plain
+
+
+def test_engine_prefix_validation(tiny):
+    params, cfg = tiny
+    eng = DecodeEngine(params, cfg, slots=2, max_seq=32, chunk=2,
+                       prefill_buckets=(8,), unroll_layers=False,
+                       kv_dtype=jnp.float32)
+    pid = eng.register_prefix([5, 6, 7])
+    # prompt must START with the prefix tokens
+    with pytest.raises(ValueError, match="extend prefix"):
+        eng.run([ServeRequest(uid=0, prompt=[9, 9, 9, 9],
+                              max_new_tokens=2, prefix_id=pid)])
+    # and extend it by at least one token
+    with pytest.raises(ValueError, match="extend prefix"):
+        eng.run([ServeRequest(uid=0, prompt=[5, 6, 7],
+                              max_new_tokens=2, prefix_id=pid)])
+    with pytest.raises(ValueError, match="unknown prefix_id"):
+        eng.run([ServeRequest(uid=0, prompt=[5, 6, 7, 8],
+                              max_new_tokens=2, prefix_id=99)])
+
+
+def test_engine_pipelined_eos_aware_refill(tiny):
+    """The pipelined planner retires an EOS-finished slot within `depth`
+    chunks of collection instead of dispatching its whole budget: with one
+    EOS-heavy request and a queue behind it, pipelined chunk count must not
+    exceed the synchronous scheduler's by more than the collection lag."""
+    params, cfg = tiny
+    rng = np.random.RandomState(10)
+    prompt = rng.randint(2, 120, size=6).tolist()
+    probe = DecodeEngine(params, cfg, slots=1, max_seq=64, chunk=2,
+                         prefill_buckets=(8,), unroll_layers=False,
+                         kv_dtype=jnp.float32)
+    free = probe.run([ServeRequest(uid=0, prompt=prompt,
+                                   max_new_tokens=40)])[0]
+    eos = free[2]   # EOS lands on token 3 of a 40-token budget
+    reqs = [ServeRequest(uid=i, prompt=prompt, max_new_tokens=40)
+            for i in range(4)]
+
+    def chunks_of(fn_name):
+        e = DecodeEngine(params, cfg, slots=1, max_seq=64, chunk=2,
+                         prefill_buckets=(8,), unroll_layers=False,
+                         kv_dtype=jnp.float32, eos_id=eos)
+        out = getattr(e, fn_name)(reqs)
+        for r in reqs:
+            assert out[r.uid] == free[:free.index(eos) + 1], fn_name
+        return e.stats["chunks"]
+
+    sync_chunks = chunks_of("run")
+    piped_chunks = chunks_of("run_pipelined")
+    # without EOS-aware retirement the planner would dispatch
+    # ceil(40/2)=20 chunks per request (80 total); with it, each request
+    # costs the sync count plus at most the depth-2 collection lag
+    assert piped_chunks <= sync_chunks + 2 * len(reqs), \
+        (piped_chunks, sync_chunks)

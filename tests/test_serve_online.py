@@ -155,3 +155,75 @@ def test_http_server_end_to_end(tiny):
     finally:
         srv.shutdown()
         online.close()
+
+
+def test_online_prefix_caching_matches(tiny):
+    """register_prefix rides the scheduler thread; prefixed submissions
+    produce the full-prefill tokens and record prefix hits."""
+    rng = np.random.RandomState(5)
+    prefix = rng.randint(2, 120, size=9).tolist()
+    suffixes = [rng.randint(2, 120, size=int(rng.randint(1, 8))).tolist()
+                for _ in range(4)]
+    batch = _engine(tiny).run(
+        [ServeRequest(uid=i, prompt=prefix + sfx, max_new_tokens=5)
+         for i, sfx in enumerate(suffixes)])
+
+    online = OnlineEngine(_engine(tiny))
+    try:
+        pid = online.register_prefix(prefix)
+        # admission-time validation: bad references fail the caller
+        with pytest.raises(ValueError, match="unknown prefix_id"):
+            online.submit(prefix + [9], 2, prefix_id=pid + 1)
+        with pytest.raises(ValueError, match="extend prefix"):
+            online.submit([9] + prefix, 2, prefix_id=pid)
+        handles = [online.submit(prefix + sfx, 5, prefix_id=pid)
+                   for sfx in suffixes]
+        for i, h in enumerate(handles):
+            assert h.result(timeout=120) == batch[i], f"req {i}"
+        assert online.eng.stats["prefix_hits"] == len(suffixes)
+    finally:
+        online.close()
+
+
+def test_http_prefix_route(tiny):
+    rng = np.random.RandomState(6)
+    prefix = rng.randint(2, 120, size=7).tolist()
+    sfx = rng.randint(2, 120, size=4).tolist()
+    batch = _engine(tiny).run(
+        [ServeRequest(uid=0, prompt=prefix + sfx, max_new_tokens=5)])
+
+    online = OnlineEngine(_engine(tiny))
+    srv = make_server(online, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        rq = urllib.request.Request(
+            f"{base}/v1/prefix", data=json.dumps({"prompt": prefix}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(rq, timeout=300) as r:
+            reg = json.loads(r.read())
+        assert reg["len"] == len(prefix)
+
+        body = json.dumps({"prompt": prefix + sfx, "max_new_tokens": 5,
+                           "prefix_id": reg["prefix_id"]}).encode()
+        rq = urllib.request.Request(
+            f"{base}/v1/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(rq, timeout=300) as r:
+            assert json.loads(r.read())["tokens"] == batch[0]
+
+        # bad prefix reference -> 400, engine stays alive
+        body = json.dumps({"prompt": [9, 9], "max_new_tokens": 2,
+                           "prefix_id": 999}).encode()
+        rq = urllib.request.Request(
+            f"{base}/v1/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(rq, timeout=30)
+        assert e.value.code == 400
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.loads(r.read()) == {"ok": True}
+    finally:
+        srv.shutdown()
+        online.close()

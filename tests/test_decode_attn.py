@@ -1,0 +1,99 @@
+"""Valid-prefix Pallas decode attention vs the XLA decode path.
+
+The kernel (ops/decode_attn.py) must reproduce `_decode_attention`'s
+joint-softmax-with-own-token semantics exactly: per-row valid prefix
+(vector kv_offset), deferred own-token k/v, any mix of lengths including
+0 (parked serving slot: own token only) and full buckets.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gill_tpu.ops.attention import _decode_attention
+from gill_tpu.ops import decode_attn
+
+
+def _ref(q, k, v, lens, k1, v1, scale):
+    # _decode_attention semantics: valid keys are pos <= kv_offset, i.e.
+    # kv_offset = lens - 1 (lens == 0 -> all cache masked, own token only).
+    return _decode_attention(q, k, v, scale=scale,
+                             kv_offset=lens - 1, extra_kv=(k1, v1))
+
+
+@pytest.mark.parametrize("b,s,h,d", [
+    (3, 256, 4, 64),      # hd=256
+    (2, 512, 8, 80),      # hd=640 (opt-2.7b head shape)
+    (2, 128, 2, 128),     # hd=256 (opt-6.7b head shape)
+])
+def test_matches_xla_decode(b, s, h, d):
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, 1, h, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    k1 = jnp.asarray(rng.randn(b, 1, h, d).astype(np.float32))
+    v1 = jnp.asarray(rng.randn(b, 1, h, d).astype(np.float32))
+    # lengths: parked slot (0), mid, full bucket
+    lens_np = np.array([0, s // 3, s], np.int32)[:b]
+    lens = jnp.asarray(lens_np)
+    scale = 1.0 / np.sqrt(d)
+
+    want = _ref(q, k, v, lens, k1, v1, scale)
+    got = decode_attn.prefix_decode_attention(
+        q, k, v, lens, k1, v1, scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_matches_xla_decode_bf16():
+    rng = np.random.RandomState(1)
+    b, s, h, d = 4, 256, 4, 64
+    q = jnp.asarray(rng.randn(b, 1, h, d), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(b, s, h, d), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(b, s, h, d), jnp.bfloat16)
+    k1 = jnp.asarray(rng.randn(b, 1, h, d), jnp.bfloat16)
+    v1 = jnp.asarray(rng.randn(b, 1, h, d), jnp.bfloat16)
+    lens = jnp.asarray([1, 17, 255, 256], jnp.int32)
+    scale = 1.0 / np.sqrt(d)
+
+    want = _ref(q, k, v, lens, k1, v1, scale).astype(jnp.float32)
+    got = decode_attn.prefix_decode_attention(
+        q, k, v, lens, k1, v1, scale=scale,
+        interpret=True).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1.5e-2, rtol=1.5e-2)
+
+
+def test_parked_slot_returns_own_value():
+    """length 0 = pure own-token attention: softmax over one logit -> v1."""
+    rng = np.random.RandomState(2)
+    b, s, h, d = 2, 128, 2, 64
+    q = jnp.asarray(rng.randn(b, 1, h, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    k1 = jnp.asarray(rng.randn(b, 1, h, d).astype(np.float32))
+    v1 = jnp.asarray(rng.randn(b, 1, h, d).astype(np.float32))
+    lens = jnp.zeros((b,), jnp.int32)
+    got = decode_attn.prefix_decode_attention(
+        q, k, v, lens, k1, v1, scale=0.125, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(v1),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_supported_predicate():
+    q = jnp.zeros((2, 1, 4, 64), jnp.bfloat16)
+    k = jnp.zeros((2, 512, 4, 64), jnp.bfloat16)
+    lens = jnp.zeros((2,), jnp.int32)
+    assert decode_attn.supported(q, k, lens, None)
+    assert not decode_attn.supported(q, k, lens, ("s", "s"))   # int8 KV
+    assert not decode_attn.supported(q, k, None, None)
+    k8 = jnp.zeros((2, 512, 4, 64), jnp.int8)
+    assert not decode_attn.supported(q, k8, lens, None)
+    # flat head dim not lane-aligned and d not 128-aligned
+    q2 = jnp.zeros((2, 1, 3, 40), jnp.bfloat16)
+    k2 = jnp.zeros((2, 512, 3, 40), jnp.bfloat16)
+    assert not decode_attn.supported(q2, k2, lens, None)
+    # bucket not divisible by any block
+    k3 = jnp.zeros((2, 96, 4, 64), jnp.bfloat16)
+    assert not decode_attn.supported(q, k3, lens, None)

@@ -30,6 +30,12 @@ import os as _os  # noqa: E402
 
 FLASH_BQ_CAP = int(_os.environ.get("GILL_FLASH_BQ", "1024"))
 DECODE_CHUNK_MIN = int(_os.environ.get("GILL_DECODE_CHUNK_MIN", "0"))
+# Valid-prefix Pallas decode kernel (ops/decode_attn.py): minimum KV bucket
+# size to take it. Probe data (PREFIX_DECODE_PROBE.json): at d=128 it wins
+# for S >= 512 when lengths vary (mixed 1.38x, half-parked 1.9-3.6x) and is
+# a wash at full occupancy (0.99-1.17x); at S=128 it loses (0.54x) — the
+# per-row DMA setup doesn't amortize over one or two blocks. 0 disables.
+PREFIX_DECODE_MIN = int(_os.environ.get("GILL_PREFIX_DECODE_MIN", "512"))
 
 
 # ---------------------------------------------------------------------------
@@ -441,6 +447,18 @@ def _on_tpu() -> bool:
         return False
 
 
+def prefix_decode_eligible(q, k, kv_offset, extra_kv, kv_scales) -> bool:
+    """Dispatch gate for the valid-prefix Pallas decode kernel: shape scope
+    (decode_attn.supported) plus the measured-profitability heuristic
+    S >= PREFIX_DECODE_MIN (the shape predicate alone admits configs where
+    the kernel loses — ADVICE r3 / PREFIX_DECODE_PROBE.json)."""
+    if (PREFIX_DECODE_MIN <= 0 or k.shape[1] < PREFIX_DECODE_MIN
+            or kv_offset is None or extra_kv is None):
+        return False
+    from gill_tpu.ops import decode_attn as _pda
+    return _pda.supported(q, k, kv_offset, kv_scales)
+
+
 def _decode_attention_chunked(q, k, v, *, scale: float, kv_offset,
                               extra_kv=None, kv_scales=None,
                               chunk: int = 256):
@@ -525,6 +543,18 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
         # instead of B*H latency-bound M=1 matmuls. Long caches read only
         # the valid prefix, chunked.
         off = k.shape[1] - 1 if kv_offset is None else kv_offset
+        # Valid-prefix Pallas kernel for long buckets: reads only each row's
+        # valid cache prefix with double-buffered DMA (ops/decode_attn.py).
+        # Gated on supported() (d % 128, bf16 KV, divisible bucket) AND
+        # S >= PREFIX_DECODE_MIN — the shape-only predicate admits configs
+        # where the kernel is a measured regression (PREFIX_DECODE_PROBE).
+        if prefix_decode_eligible(q, k, kv_offset, extra_kv,
+                                  kv_scales) and _on_tpu():
+            lens = jnp.broadcast_to(jnp.asarray(kv_offset) + 1,
+                                    (q.shape[0],))
+            from gill_tpu.ops import decode_attn as _pda
+            return _pda.prefix_decode_attention(
+                q, k, v, lens, extra_kv[0], extra_kv[1], scale=scale)
         # Valid-prefix chunked reads are OFF by default: measured SLOWER on
         # v5e (491 vs 867 tok/s at opt-2.7b w8+kv8, 512-prompt/512-gen) —
         # the dynamic-trip-count loop defeats XLA's DMA pipelining, which

@@ -309,12 +309,12 @@ def main(argv):
     # gating, main.py:299-303) ----
     writer = None
     if jax.process_index() == 0:
-        try:
-            from torch.utils.tensorboard import SummaryWriter
+        # Pure-Python event writer (gill_tpu/utils/tb.py) — same on-disk
+        # format the reference's torch SummaryWriter produces
+        # (reference main.py:299-303), with no torch dependency.
+        from gill_tpu.utils.tb import SummaryWriter
 
-            writer = SummaryWriter(log_dir)
-        except Exception:
-            writer = None
+        writer = SummaryWriter(log_dir)
 
     step_fn = make_train_step(core, tc)
     b_shard = batch_sharding(mesh)

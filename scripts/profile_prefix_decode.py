@@ -64,11 +64,14 @@ def main():
         k1 = jnp.asarray(rng.randn(b, 1, h, d) * 0.3, jnp.bfloat16)
         v1 = jnp.asarray(rng.randn(b, 1, h, d) * 0.3, jnp.bfloat16)
 
+        # halfpark derives from the SAME sampled lengths as mixed (every
+        # other row zeroed) so the parked-slot effect is isolated from
+        # length-sampling variance (ADVICE r3).
+        mixed_lens = rng.randint(1, s + 1, size=b)
         mixes = {
             "full": np.full((b,), s, np.int64),
-            "mixed": rng.randint(1, s + 1, size=b),
-            "halfpark": np.where(np.arange(b) % 2 == 0,
-                                 rng.randint(1, s + 1, size=b), 0),
+            "mixed": mixed_lens,
+            "halfpark": np.where(np.arange(b) % 2 == 0, mixed_lens, 0),
         }
 
         @partial(jax.jit, static_argnames=("which", "n"))

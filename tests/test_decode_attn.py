@@ -81,19 +81,55 @@ def test_parked_slot_returns_own_value():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_dispatch_gate():
+    """The dispatcher takes the kernel only for supported shapes AND long
+    buckets (S >= PREFIX_DECODE_MIN): the shape predicate alone admits
+    configs where the kernel is a measured regression (short67_b64 in
+    PREFIX_DECODE_PROBE.json)."""
+    from gill_tpu.ops import attention as attn_mod
+    lens = jnp.full((2,), 7, jnp.int32)
+    kv1 = (jnp.zeros((2, 1, 4, 128), jnp.bfloat16),) * 2
+
+    def mk(s, d):
+        return (jnp.zeros((2, 1, 4, d), jnp.bfloat16),
+                jnp.zeros((2, s, 4, d), jnp.bfloat16))
+
+    q, k = mk(512, 128)
+    assert attn_mod.prefix_decode_eligible(q, k, lens - 1, kv1, None)
+    # short bucket: measured regression -> XLA path
+    q, k = mk(128, 128)
+    assert not attn_mod.prefix_decode_eligible(q, k, lens - 1, kv1, None)
+    # unsupported head dim
+    q, k = mk(512, 64)
+    assert not attn_mod.prefix_decode_eligible(q, k, lens - 1, kv1, None)
+    # no offset vector / no deferred own-token kv -> XLA path
+    q, k = mk(512, 128)
+    assert not attn_mod.prefix_decode_eligible(q, k, None, kv1, None)
+    assert not attn_mod.prefix_decode_eligible(q, k, lens - 1, None, None)
+    # int8 KV out of scope
+    assert not attn_mod.prefix_decode_eligible(q, k, lens - 1, kv1,
+                                               ("s", "s"))
+
+
 def test_supported_predicate():
-    q = jnp.zeros((2, 1, 4, 64), jnp.bfloat16)
-    k = jnp.zeros((2, 512, 4, 64), jnp.bfloat16)
+    # d % 128 == 0 is the kernel's scope (the DMA copies row-blocks in the
+    # cache's native (block, H, D) layout; unaligned D would relayout-copy
+    # the whole cache on entry — decode_attn.py:_kernel docstring).
+    q = jnp.zeros((2, 1, 4, 128), jnp.bfloat16)
+    k = jnp.zeros((2, 512, 4, 128), jnp.bfloat16)
     lens = jnp.zeros((2,), jnp.int32)
     assert decode_attn.supported(q, k, lens, None)
     assert not decode_attn.supported(q, k, lens, ("s", "s"))   # int8 KV
     assert not decode_attn.supported(q, k, None, None)
-    k8 = jnp.zeros((2, 512, 4, 64), jnp.int8)
+    k8 = jnp.zeros((2, 512, 4, 128), jnp.int8)
     assert not decode_attn.supported(q, k8, lens, None)
-    # flat head dim not lane-aligned and d not 128-aligned
+    # d = 64 and d = 40 are both out of scope (d % 128 != 0)
+    q64 = jnp.zeros((2, 1, 4, 64), jnp.bfloat16)
+    k64 = jnp.zeros((2, 512, 4, 64), jnp.bfloat16)
+    assert not decode_attn.supported(q64, k64, lens, None)
     q2 = jnp.zeros((2, 1, 3, 40), jnp.bfloat16)
     k2 = jnp.zeros((2, 512, 3, 40), jnp.bfloat16)
     assert not decode_attn.supported(q2, k2, lens, None)
     # bucket not divisible by any block
-    k3 = jnp.zeros((2, 96, 4, 64), jnp.bfloat16)
+    k3 = jnp.zeros((2, 96, 4, 128), jnp.bfloat16)
     assert not decode_attn.supported(q, k3, lens, None)

@@ -30,6 +30,18 @@ from gill_tpu.utils import image as image_utils
 from gill_tpu.utils.image import truncate_caption
 
 
+def _run_lookup(tokens, img_runs, img0):
+    """hidden_lookup for engine-served generations: the serving engines
+    capture each [IMG] run's hidden states into a tap ring indexed by run
+    order (serve/gill_engine.py), so the run starting at token index i is
+    ring row `count of [IMG0] in tokens[:i]` (newline truncation in
+    _postprocess_generation only drops a suffix, so prefix counts agree)."""
+    def lookup(i, t=np.asarray(tokens), h=img_runs):
+        k = int(np.sum(t[:i] == img0))
+        return h[min(k, h.shape[0] - 1)][None]          # (1, nt, E)
+    return lookup
+
+
 class GILL:
     def __init__(self, core: GILLCore, params: dict, tokenizer,
                  sd_pipe=None, retrieval_index=None, decision_params=None,
@@ -301,15 +313,16 @@ class GILL:
             self, prompts_batch: List[List], num_words: int = 32,
             min_word_tokens: int = 0, ret_scale_factor: float = 1.0,
             gen_scale_factor: float = 1.0, top_p: float = 1.0,
-            temperature: float = 0.0, generator=None,
+            temperature: float = 0.0, max_num_rets: int = 1, generator=None,
             always_add_bos: bool = False, guidance_scale: float = 7.5,
             num_inference_steps: int = 50, slots: int = 8, chunk: int = 16,
             max_seq: Optional[int] = None):
         """Serve MANY interleaved prompts concurrently over the
         continuous-batching GILL engine (serve/gill_engine.py) — same
         per-prompt output structure as generate_for_images_and_texts,
-        returned in input order. max_num_rets=1 (the engine's device-side
-        tap captures the first [IMG] run). temperature > 0 samples with
+        returned in input order. max_num_rets>1 sizes the engine's
+        device-side tap ring so each of the first max_num_rets [IMG] runs
+        delivers its hidden states. temperature > 0 samples with
         per-request streams derived from `generator` (request i's stream is
         independent of slot packing, so results are reproducible across
         engine configurations — unlike the sequential path's shared
@@ -342,25 +355,28 @@ class GILL:
                 uid=uid, embs=np.asarray(jnp.asarray(embs[0], emb_dt)),
                 num_words=num_words, min_word_tokens=min_word_tokens,
                 img_scale=scale, temperature=temperature, top_p=top_p,
-                seed=(base_seed + uid) % (2**31 - 1)))
+                seed=(base_seed + uid) % (2**31 - 1),
+                max_img_runs=max_num_rets))
 
         if not reqs:
             return []
         nt = self.core.cfg.num_tokens
         if max_seq is None:
             longest = max(r.embs.shape[0] for r in reqs)
-            max_seq = -(-(longest + num_words + nt) // 64) * 64
+            max_seq = -(-(longest + num_words
+                          + nt * max_num_rets) // 64) * 64
         sampling = temperature > 0
-        # One engine per (slots, chunk, sampling): a longer batch REPLACES
-        # the engine with a larger-max_seq one (freeing the old KV pool)
-        # instead of pinning one multi-GB pool per prompt-length bucket.
+        # One engine per (slots, chunk, sampling): a longer batch or a
+        # deeper tap ring REPLACES the engine with a larger one (freeing
+        # the old KV pool) instead of pinning one multi-GB pool per
+        # prompt-length bucket.
         key = (slots, chunk, sampling)
         cache = getattr(self, "_serve_engines", None)
         if cache is None:
             cache = {}
             self._serve_engines = cache
         eng = cache.get(key)
-        if eng is None or eng.max_seq < max_seq:
+        if eng is None or eng.max_seq < max_seq or eng.max_runs < max_num_rets:
             if self.kv_int8:
                 import warnings
 
@@ -372,24 +388,28 @@ class GILL:
             eng = GillDecodeEngine(
                 self.core, self.params, slots=slots,
                 max_seq=max(max_seq, eng.max_seq if eng else 0),
-                chunk=chunk, kv_dtype=kv_dtype, sampling=sampling)
+                chunk=chunk, kv_dtype=kv_dtype, sampling=sampling,
+                max_img_runs=max(max_num_rets,
+                                 eng.max_runs if eng else 1))
             cache[key] = eng
         served = eng.run(reqs)
 
         outputs = []
+        img0 = self.core.img_start
         for uid in range(len(prompts_batch)):
             res = served[uid]
             tokens = np.asarray(res["tokens"], np.int32)
-            img_hidden = jnp.asarray(res["img_hidden"])[None]  # (1, nt, E)
+            img_runs = jnp.asarray(res["img_runs"])   # (max_runs, nt, E)
             outputs.append(self._postprocess_generation(
-                tokens, lambda i, h=img_hidden: h, 1, rng,
-                guidance_scale, num_inference_steps))
+                tokens, _run_lookup(tokens, img_runs, img0), max_num_rets,
+                rng, guidance_scale, num_inference_steps))
         return outputs
 
     # -- online (streaming) serving --------------------------------------------
 
     def get_online_engine(self, slots: int = 4, chunk: int = 8,
-                          max_seq: int = 512, sampling: bool = False):
+                          max_seq: int = 512, sampling: bool = False,
+                          max_img_runs: int = 1):
         """Lazily build the thread-owned online GILL serving engine
         (serve/online.py GillOnlineEngine over serve/gill_engine.py).
         Serving engines use a bf16 KV pool (kv_cache_precision='int8'
@@ -397,7 +417,7 @@ class GILL:
         from gill_tpu.serve.gill_engine import GillDecodeEngine
         from gill_tpu.serve.online import GillOnlineEngine
 
-        key = (slots, chunk, max_seq, sampling)
+        key = (slots, chunk, max_seq, sampling, max_img_runs)
         cache = getattr(self, "_online_engines", None)
         if cache is None:
             cache = {}
@@ -414,7 +434,8 @@ class GILL:
                         else jnp.float32)
             eng = GillDecodeEngine(self.core, self.params, slots=slots,
                                    max_seq=max_seq, chunk=chunk,
-                                   kv_dtype=kv_dtype, sampling=sampling)
+                                   kv_dtype=kv_dtype, sampling=sampling,
+                                   max_img_runs=max_img_runs)
             online = GillOnlineEngine(eng)
             cache[key] = online
         return online
@@ -424,7 +445,7 @@ class GILL:
                        ret_scale_factor: float = 1.0,
                        gen_scale_factor: float = 1.0,
                        temperature: float = 0.0, top_p: float = 1.0,
-                       seed: int = 0,
+                       seed: int = 0, max_num_rets: int = 1,
                        always_add_bos: bool = False, *, slots: int = 4,
                        chunk: int = 8, max_seq: int = 512):
         """Submit one interleaved prompt to the online serving engine;
@@ -436,27 +457,31 @@ class GILL:
         embs, _ = self._encode_prompts(prompts, always_add_bos)
         online = self.get_online_engine(slots=slots, chunk=chunk,
                                         max_seq=max_seq,
-                                        sampling=temperature > 0)
+                                        sampling=temperature > 0,
+                                        max_img_runs=max_num_rets)
         emb_dt = (jnp.bfloat16 if jax.default_backend() == "tpu"
                   else jnp.float32)
         scale = max(ret_scale_factor, 1.0) * max(gen_scale_factor, 1.0)
         return online.submit(np.asarray(jnp.asarray(embs[0], emb_dt)),
                              num_words, min_word_tokens=min_word_tokens,
                              img_scale=scale, temperature=temperature,
-                             top_p=top_p, seed=seed)
+                             top_p=top_p, seed=seed,
+                             max_img_runs=max_num_rets)
 
     def finalize_async(self, handle, generator=None,
                        guidance_scale: float = 7.5,
-                       num_inference_steps: int = 50):
+                       num_inference_steps: int = 50,
+                       max_num_rets: int = 1):
         """Wait for an async request and run the retrieval / decision / SD
         post-processing — same output structure as
-        generate_for_images_and_texts (max_num_rets=1)."""
+        generate_for_images_and_texts. max_num_rets beyond the submit-time
+        tap ring depth reuses the last captured run's hiddens."""
         tokens = np.asarray(handle.result(), np.int32)
         rng = generator if generator is not None else jax.random.PRNGKey(0)
-        img_hidden = jnp.asarray(handle.img_hidden)[None]
+        img_runs = jnp.asarray(handle.img_runs)
         return self._postprocess_generation(
-            tokens, lambda i, h=img_hidden: h, 1, rng, guidance_scale,
-            num_inference_steps)
+            tokens, _run_lookup(tokens, img_runs, self.core.img_start),
+            max_num_rets, rng, guidance_scale, num_inference_steps)
 
     @staticmethod
     def _to_pil(arr) -> List[Image.Image]:

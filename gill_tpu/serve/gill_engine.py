@@ -13,9 +13,11 @@ engine.py serves a plain LM; this engine serves GILLCore's decode semantics
     (models.py:476-520);
   * the hidden state of each [IMG] token (the GILLMapper/retrieval input,
     models.py:660-662) is captured device-side into a per-slot
-    (num_tokens, E) tap buffer — first [IMG] run wins, matching the
-    api's first-complete-run selection — so the host fetches 8 rows per
-    finished request instead of streaming (steps, E) hidden blocks;
+    (max_img_runs, num_tokens, E) ring of tap buffers — a per-slot run
+    counter advances on each fed [IMG0], so run k's hiddens land in ring
+    row k (the api's max_num_rets>1 selection, models.py:651) — and the
+    host fetches max_img_runs*num_tokens rows per finished request
+    instead of streaming (steps, E) hidden blocks;
   * scheduling is the asynchronous chunk pipeline of engine.run_pipelined:
     GILL generation is closed-budget (num_words + (num_tokens-1) *
     max_img_runs scan steps, no EOS), so refills are planned entirely
@@ -75,7 +77,8 @@ class GillDecodeEngine:
     def __init__(self, core, params, *, slots: int = 8, max_seq: int = 512,
                  chunk: int = 16, prefill_buckets=(64, 128, 256),
                  unroll_layers: Optional[bool] = None,
-                 kv_dtype=jnp.bfloat16, mesh=None, sampling: bool = False):
+                 kv_dtype=jnp.bfloat16, mesh=None, sampling: bool = False,
+                 max_img_runs: int = 1):
         # sampling=True compiles per-slot temperature/top-p sampling into
         # the chunk program (a (slots, V) sort per step — measurable cost;
         # greedy-only engines skip it). Keys are stateless: per-request
@@ -85,6 +88,10 @@ class GillDecodeEngine:
         self.core = core
         self.cfg = core.opt_cfg
         self.nt = core.cfg.num_tokens
+        # device-side tap ring depth: how many [IMG] runs per request get
+        # their hidden states captured (api max_num_rets, models.py:651)
+        assert max_img_runs >= 1, max_img_runs
+        self.max_runs = max_img_runs
         self.img0 = core.img_start
         self.pad_id = core.pad_token_id
         e0 = core.cfg.text_emb_layers[0]
@@ -160,8 +167,11 @@ class GillDecodeEngine:
                  "temp": jnp.zeros((B,), jnp.float32),
                  "topp": jnp.ones((B,), jnp.float32),
                  "seed": jnp.zeros((B,), jnp.int32)},
-                {"tap": jnp.zeros((B, self.nt, self.emb_dim), jnp.float32),
-                 "tapw": jnp.zeros((B, self.nt), bool)})
+                {"tap": jnp.zeros((B, self.max_runs, self.nt, self.emb_dim),
+                                  jnp.float32),
+                 # fed-[IMG0] count minus 1 = the ring row the CURRENT run
+                 # writes; -1 = no run started yet
+                 "run": jnp.full((B,), -1, jnp.int32)})
 
     def _rbucket(self, n: int) -> int:
         # powers of TWO (the plain-LM engine uses powers of four): gill
@@ -281,13 +291,13 @@ class GillDecodeEngine:
                 "topp": state["topp"].at[sid].set(topp, mode="drop"),
                 "seed": state["seed"].at[sid].set(seed, mode="drop"),
             }
-            # reset the tap rows for refilled slots
-            zt = jnp.zeros((sid.shape[0], nt, tap_state["tap"].shape[-1]),
+            # reset the tap ring + run counter for refilled slots
+            zt = jnp.zeros((sid.shape[0],) + tap_state["tap"].shape[1:],
                            tap_state["tap"].dtype)
             tap_state = {
                 "tap": tap_state["tap"].at[sid].set(zt, mode="drop"),
-                "tapw": tap_state["tapw"].at[sid].set(
-                    jnp.zeros((sid.shape[0], nt), bool), mode="drop"),
+                "run": tap_state["run"].at[sid].set(
+                    jnp.full((sid.shape[0],), -1, jnp.int32), mode="drop"),
             }
             return new_cache, state, tap_state
 
@@ -298,6 +308,7 @@ class GillDecodeEngine:
         cfg, nt, img0 = self.cfg, self.nt, self.img0
         pad_id, max_seq = self.pad_id, self.max_seq
         steps, unroll = self.chunk, self.unroll
+        max_runs = self.max_runs
         final_tap, tap_layer = self.final_tap, self.tap_layer
 
         @functools.partial(jax.jit, donate_argnums=(1, 2))
@@ -307,7 +318,7 @@ class GillDecodeEngine:
             rows = jnp.arange(B)
 
             def step(carry, _):
-                cache, pos, tok, iter_c, force, valid, tap, tapw = carry
+                cache, pos, tok, iter_c, force, valid, tap, run = carry
                 emb = opt_mod.embed_tokens(params, tok[:, None])
                 out = opt_mod.forward(params, cfg, emb, cache=cache,
                                       cache_pos=pos, lm_head=head,
@@ -317,14 +328,18 @@ class GillDecodeEngine:
                     hidden = out["last_hidden"][:, 0]
                 else:
                     hidden = out["hidden_states"][tap_layer][:, 0]
-                # first-run [IMG] tap capture for the fed token
+                # per-run [IMG] tap capture for the fed token: each fed
+                # [IMG0] advances the slot's run counter, so run k's nt
+                # hiddens land in ring row k (rows >= max_runs are dropped)
                 idx = tok - img0
+                run = run + ((idx == 0) & valid).astype(run.dtype)
                 ci = jnp.clip(idx, 0, nt - 1)
-                hit = (idx >= 0) & (idx < nt) & valid & ~tapw[rows, ci]
-                cur = tap[rows, ci]
-                tap = tap.at[rows, ci].set(
+                ri = jnp.clip(run, 0, max_runs - 1)
+                hit = (idx >= 0) & (idx < nt) & valid & (run >= 0) \
+                    & (run < max_runs)
+                cur = tap[rows, ri, ci]
+                tap = tap.at[rows, ri, ci].set(
                     jnp.where(hit[:, None], hidden.astype(tap.dtype), cur))
-                tapw = tapw.at[rows, ci].set(tapw[rows, ci] | hit)
 
                 logits = out["logits"][:, -1]
                 # key counter = pos + 1: the fed token sits at `pos`, and
@@ -345,7 +360,7 @@ class GillDecodeEngine:
                 new_valid = ~done
                 pos = jnp.minimum(pos + 1, max_seq - 1)
                 return ((out["cache"], pos, nxt, new_iter, new_force,
-                         new_valid, tap, tapw), (nxt, new_valid))
+                         new_valid, tap, run), (nxt, new_valid))
 
             carry_nw = state["nw"]
             carry_mw = state["mw"]
@@ -354,12 +369,12 @@ class GillDecodeEngine:
             carry_topp = state["topp"]
             carry_seed = state["seed"]
             entry_tok, entry_valid = state["tok"], state["valid"]
-            (cache, pos, tok, iter_c, force, valid, tap, tapw), \
+            (cache, pos, tok, iter_c, force, valid, tap, run), \
                 (toks, valids) = jax.lax.scan(
                     step,
                     (cache, state["pos"], state["tok"], state["iter"],
                      state["force"], state["valid"], tap_state["tap"],
-                     tap_state["tapw"]),
+                     tap_state["run"]),
                     None, length=steps)
             toks = jnp.concatenate([entry_tok[None], toks], axis=0)
             valids = jnp.concatenate([entry_valid[None], valids], axis=0)
@@ -367,7 +382,7 @@ class GillDecodeEngine:
                      "valid": valid, "nw": carry_nw, "mw": carry_mw,
                      "scale": carry_scale, "temp": carry_temp,
                      "topp": carry_topp, "seed": carry_seed}
-            return cache, state, {"tap": tap, "tapw": tapw}, toks, valids
+            return cache, state, {"tap": tap, "run": run}, toks, valids
 
         return run_chunk
 
@@ -386,6 +401,11 @@ class GillDecodeEngine:
             raise ValueError(
                 f"request {req.uid}: temperature > 0 needs an engine built "
                 "with sampling=True")
+        if req.max_img_runs > self.max_runs:
+            raise ValueError(
+                f"request {req.uid}: max_img_runs {req.max_img_runs} "
+                f"exceeds the engine's tap ring depth {self.max_runs} "
+                "(build the engine with max_img_runs >= the request's)")
         return budget
 
     def _refill(self, queue: List[GillServeRequest]):
@@ -472,7 +492,10 @@ class GillDecodeEngine:
                 toks_v = toks_v[:n_valid]
                 st.done = True
                 results[st.uid] = {"tokens": toks_v.tolist(),
-                                   "img_hidden": tap_host[s].copy()}
+                                   # first run (legacy consumers) + the
+                                   # full (max_runs, nt, E) tap ring
+                                   "img_hidden": tap_host[s, 0].copy(),
+                                   "img_runs": tap_host[s].copy()}
                 self.stats["tokens_out"] += len(toks_v)
 
     def run(self, requests: List[GillServeRequest], *, depth: int = 2
@@ -480,8 +503,10 @@ class GillDecodeEngine:
         """Serve all requests (pipelined scheduler — GILL decode is
         closed-budget). Returns uid -> {"tokens": [ids] (valid prefix,
         reference-semantics), "img_hidden": (num_tokens, E) np.ndarray —
-        the hidden states of the FIRST [IMG0..n) run (api selects runs
-        from tokens; rows are zero when no run was emitted)}."""
+        the FIRST [IMG0..n) run's hidden states, "img_runs":
+        (max_img_runs, num_tokens, E) — the full tap ring, run k in row k
+        (api selects runs from tokens; rows are zero when no run was
+        emitted)}."""
         # admission up front: a bad request must not abort the batch mid-run
         for req in requests:
             self._validate(req)

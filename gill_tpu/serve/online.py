@@ -81,13 +81,15 @@ class _PrefixReg:
 
 
 class GillRequestHandle(RequestHandle):
-    """RequestHandle + the first [IMG] run's hidden states, set at
-    completion (the GILLMapper / retrieval-head input)."""
+    """RequestHandle + the [IMG] runs' hidden states, set at completion
+    (the GILLMapper / retrieval-head input): img_hidden is the first run
+    (nt, E); img_runs the engine's full (max_img_runs, nt, E) tap ring."""
 
     def __init__(self, uid, request):
         super().__init__(uid, [], request.num_words)
         self.request = request
         self.img_hidden = None
+        self.img_runs = None
 
 
 class _ThreadedEngine:
@@ -280,13 +282,14 @@ class GillOnlineEngine(_ThreadedEngine):
     def submit(self, prompt_embs, num_words: int, *,
                min_word_tokens: int = 0, img_scale: float = 1.0,
                temperature: float = 0.0, top_p: float = 1.0,
-               seed: int = 0) -> GillRequestHandle:
+               seed: int = 0, max_img_runs: int = 1) -> GillRequestHandle:
         from gill_tpu.serve.gill_engine import GillServeRequest
 
         req = GillServeRequest(
             uid=next(self._uid), embs=prompt_embs, num_words=num_words,
             min_word_tokens=min_word_tokens, img_scale=img_scale,
-            temperature=temperature, top_p=top_p, seed=seed)
+            temperature=temperature, top_p=top_p, seed=seed,
+            max_img_runs=max_img_runs)
         self.eng._validate(req)      # admission: reject before scheduling
         return self._register(GillRequestHandle(req.uid, req))
 
@@ -331,7 +334,8 @@ class GillOnlineEngine(_ThreadedEngine):
                 self._handles.pop(st.uid)
                 eng.stats["tokens_out"] += len(h.tokens)
                 with h.cond:
-                    h.img_hidden = tap_host[s].copy()
+                    h.img_hidden = tap_host[s, 0].copy()
+                    h.img_runs = tap_host[s].copy()
                     h.done.set()
                     h.cond.notify_all()
 

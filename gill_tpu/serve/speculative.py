@@ -76,6 +76,11 @@ class SpeculativeDecoder:
         self.pad_id = pad_id
         self.unroll = unroll_layers
         self.kv_dtype = kv_dtype
+        # last generate()'s acceptance telemetry: {"rounds", "accepted",
+        # "k"} — acceptance rate = accepted / (rounds * (k - 1)) of the
+        # REFUTABLE draft positions (each round always commits >= 1 token
+        # regardless of the draft; only the k-1 capped prefix varies)
+        self.last_stats = None
 
     # -- jitted programs ----------------------------------------------------
 
@@ -199,11 +204,15 @@ class SpeculativeDecoder:
             return out
         pos = jnp.asarray(plen, jnp.int32)
         last = jnp.asarray(out[-1], jnp.int32)
+        stats = {"rounds": 0, "accepted": 0, "k": self.k}
+        self.last_stats = stats
         while len(out) < max_new_tokens:
             tcache, dcache, pos, last, blocks, counts = self._rounds_fn(
                 self.tparams, self.dparams, tcache, dcache, pos, last)
             blocks = np.asarray(blocks)                 # (rounds, k)
             counts = np.asarray(counts)                 # (rounds,)
+            stats["rounds"] += int(self.rounds)
+            stats["accepted"] += int(counts.sum()) - int(self.rounds)
             stop = False
             for r in range(self.rounds):
                 for t in blocks[r, :counts[r]]:

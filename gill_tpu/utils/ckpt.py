@@ -94,30 +94,61 @@ def load_checkpoint(ckpt_dir: str) -> Tuple[Any, dict]:
 def save_checkpoint_orbax(state_tree, ckpt_dir: str, *, step: int,
                           meta: Optional[dict] = None):
     """Sharding-aware checkpoint via orbax (use for multi-host runs; the
-    npz format above stays the single-host default)."""
+    npz format above stays the single-host default). Collective: EVERY
+    process must call this with its (globally sharded) arrays — each host
+    writes the shards it owns. meta.json is written by process 0 only."""
+    import jax
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(ckpt_dir, f"orbax_{step}"))
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, state_tree, force=True)
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"step": step, **(meta or {})}, f)
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"step": step, **(meta or {})}, f)
 
 
-def load_checkpoint_orbax(ckpt_dir: str, step: Optional[int] = None):
+def latest_orbax_step(ckpt_dir: str) -> Optional[int]:
+    """Largest step with an `orbax_<step>` checkpoint under ckpt_dir (the
+    dir itself may also BE a single orbax_<step> directory); None if no
+    orbax checkpoints exist."""
     import glob as _glob
 
+    base = os.path.basename(os.path.normpath(ckpt_dir))
+    if base.startswith("orbax_") and base[6:].isdigit():
+        return int(base[6:])
+    cands = [p for p in _glob.glob(os.path.join(ckpt_dir, "orbax_*"))
+             if p.rsplit("_", 1)[1].isdigit()]
+    if not cands:
+        return None
+    return max(int(p.rsplit("_", 1)[1]) for p in cands)
+
+
+def load_checkpoint_orbax(ckpt_dir: str, step: Optional[int] = None,
+                          target=None):
+    """Restore an orbax checkpoint. With `target` (a pytree of jax arrays
+    with the desired shardings — e.g. the freshly initialized train state
+    already placed on the mesh), arrays are restored DIRECTLY onto those
+    shardings (each host reads only the shards it owns); without it,
+    arrays restore as host-replicated numpy."""
     import orbax.checkpoint as ocp
 
     if step is None:
-        cands = sorted(_glob.glob(os.path.join(ckpt_dir, "orbax_*")),
-                       key=lambda p: int(p.rsplit("_", 1)[1]))
-        assert cands, f"no orbax checkpoints under {ckpt_dir}"
-        path = cands[-1]
+        step = latest_orbax_step(ckpt_dir)
+        assert step is not None, f"no orbax checkpoints under {ckpt_dir}"
+    base = os.path.basename(os.path.normpath(ckpt_dir))
+    if base == f"orbax_{step}":
+        path = ckpt_dir
     else:
         path = os.path.join(ckpt_dir, f"orbax_{step}")
     with ocp.PyTreeCheckpointer() as ckptr:
-        tree = ckptr.restore(os.path.abspath(path))
+        if target is not None:
+            restore_args = ocp.checkpoint_utils.construct_restore_args(
+                target)
+            tree = ckptr.restore(os.path.abspath(path), item=target,
+                                 restore_args=restore_args)
+        else:
+            tree = ckptr.restore(os.path.abspath(path))
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     return tree, meta

@@ -109,6 +109,11 @@ def parse_args(argv):
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (TPU pods; "
                         "replaces the reference's NCCL rendezvous)")
+    p.add_argument("--ckpt-backend", default="npz",
+                   choices=("npz", "orbax"),
+                   help="checkpoint format: npz = single-host trainable "
+                        "pytree (default); orbax = sharding-aware "
+                        "collective save/restore for multi-host runs")
     return p.parse_args(argv)
 
 
@@ -182,6 +187,19 @@ def main(argv):
             json.dump(vars(args), f, indent=4)
         dump_git_status(os.path.join(log_dir, "git_info.txt"))
         print(f"Logging to {log_dir}.", flush=True)
+    if jax.process_count() > 1:
+        # Rank 0 may have suffixed the dir (collision dedup above); the
+        # orbax backend saves COLLECTIVELY from every process, so all ranks
+        # must agree on the path. Broadcast it (null-padded utf-8).
+        from jax.experimental import multihost_utils
+
+        buf = np.zeros(1024, np.uint8)
+        enc = log_dir.encode()
+        assert len(enc) <= buf.size, log_dir
+        if jax.process_index() == 0:
+            buf[: len(enc)] = np.frombuffer(enc, np.uint8)
+        buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+        log_dir = bytes(buf[buf != 0]).decode()
 
     if args.seed is not None:
         np.random.seed(args.seed)
@@ -271,14 +289,28 @@ def main(argv):
 
     best_acc1 = -1.0
     if args.resume:
-        tree, meta = ckpt_utils.load_checkpoint(args.resume)
-        state = TrainState(
-            adapters=jax.tree_util.tree_map(jnp.asarray, tree["adapters"]),
-            opt_state=jax.tree_util.tree_map(jnp.asarray, tree["opt_state"]),
-            step=jnp.asarray(meta["step"], jnp.int32))
-        state = jax.device_put(state, jax.tree_util.tree_map(
-            lambda _: replicated(mesh), state,
-            is_leaf=lambda x: hasattr(x, "shape")))
+        if (args.ckpt_backend == "orbax"
+                or ckpt_utils.latest_orbax_step(args.resume) is not None):
+            # Collective sharded restore: arrays land directly on their
+            # mesh shardings (each host reads only the shards it owns) —
+            # the fresh `state` above provides the target placement.
+            tree, meta = ckpt_utils.load_checkpoint_orbax(
+                args.resume, target={"adapters": state.adapters,
+                                     "opt_state": state.opt_state})
+            state = TrainState(adapters=tree["adapters"],
+                               opt_state=tree["opt_state"],
+                               step=jnp.asarray(meta["step"], jnp.int32))
+        else:
+            tree, meta = ckpt_utils.load_checkpoint(args.resume)
+            state = TrainState(
+                adapters=jax.tree_util.tree_map(jnp.asarray,
+                                                tree["adapters"]),
+                opt_state=jax.tree_util.tree_map(jnp.asarray,
+                                                 tree["opt_state"]),
+                step=jnp.asarray(meta["step"], jnp.int32))
+            state = jax.device_put(state, jax.tree_util.tree_map(
+                lambda _: replicated(mesh), state,
+                is_leaf=lambda x: hasattr(x, "shape")))
         args.start_epoch = meta.get("epoch", 0)
         best_acc1 = meta.get("best_acc1", -1.0)
         print(f"Resumed from {args.resume} @ epoch {args.start_epoch}.")
@@ -340,12 +372,18 @@ def main(argv):
         run_validate(args.start_epoch)
         return
 
-    rng = np.random.RandomState(args.seed or 0)
     with jax.sharding.set_mesh(mesh):
         for epoch in range(args.start_epoch, tc.epochs):
             if epoch == 0:
                 run_validate(epoch - 1)
             train_loader.set_epoch(epoch)
+            # Per-EPOCH concat-decision stream (not one stateful stream
+            # across epochs): a resumed run replays the identical decisions
+            # for its epochs, keeping --resume trajectories bit-consistent
+            # with uninterrupted runs (reference resume semantics,
+            # main.py:347-367).
+            rng = np.random.RandomState(
+                ((args.seed or 0) + 1000003 * (epoch + 1)) % (2 ** 31))
 
             meters = {k: AverageMeter(k, ":.4e") for k in
                       ("loss", "cap_ce", "cont_loss", "gen_l2")}
@@ -475,12 +513,23 @@ def main(argv):
             acc1 = run_validate(epoch)
             is_best = acc1 > best_acc1
             best_acc1 = max(acc1, best_acc1)
-            if jax.process_index() == 0:
+            meta = {"epoch": epoch + 1, "best_acc1": float(best_acc1)}
+            if args.ckpt_backend == "orbax":
+                # collective: every process writes the shards it owns
+                ckpt_utils.save_checkpoint_orbax(
+                    {"adapters": state.adapters,
+                     "opt_state": state.opt_state},
+                    log_dir, step=int(state.step), meta=meta)
+                if is_best and jax.process_index() == 0:
+                    with open(os.path.join(log_dir, "orbax_best.json"),
+                              "w") as f:
+                        json.dump({"step": int(state.step), **meta}, f)
+            elif jax.process_index() == 0:
                 ckpt_utils.save_checkpoint(
                     {"adapters": jax.device_get(state.adapters),
                      "opt_state": jax.device_get(state.opt_state)},
                     log_dir, step=int(state.step), is_best=is_best,
-                    meta={"epoch": epoch + 1, "best_acc1": float(best_acc1)})
+                    meta=meta)
     if writer is not None:
         writer.close()
 

@@ -122,26 +122,52 @@ def test_batch_serving_matches_sequential(gill):
 
     assert len(got) == len(seq)
     for g, s in zip(got, seq):
-        assert len(g) == len(s)
-        for gi, si in zip(g, s):
-            if isinstance(si, str):
-                assert gi == si
-            else:
-                assert set(gi.keys()) == set(si.keys())
-                assert gi["decision"][0] == si["decision"][0]
-                np.testing.assert_allclose(gi["decision"][1],
-                                           si["decision"][1], atol=1e-3)
-                assert len(gi["ret"]) == len(si["ret"])
-                for (ri, rt, rs), (qi, qt, qs) in zip(gi["ret"], si["ret"]):
-                    assert rt == qt
-                    assert abs(rs - qs) < 1e-3
-                    np.testing.assert_array_equal(np.asarray(ri),
-                                                  np.asarray(qi))
-                for (ri, rs), (qi, qs) in zip(gi["gen"], si["gen"]):
-                    assert abs(rs - qs) < 1e-2
-                    np.testing.assert_allclose(np.asarray(ri, np.float32),
-                                               np.asarray(qi, np.float32),
-                                               atol=2.0)
+        _assert_outputs_match(g, s)
+
+
+def _assert_outputs_match(g, s):
+    assert len(g) == len(s)
+    for gi, si in zip(g, s):
+        if isinstance(si, str):
+            assert gi == si
+        else:
+            assert set(gi.keys()) == set(si.keys())
+            assert gi["decision"][0] == si["decision"][0]
+            np.testing.assert_allclose(gi["decision"][1],
+                                       si["decision"][1], atol=1e-3)
+            assert len(gi["ret"]) == len(si["ret"])
+            for (ri, rt, rs), (qi, qt, qs) in zip(gi["ret"], si["ret"]):
+                assert rt == qt
+                assert abs(rs - qs) < 1e-3
+                np.testing.assert_array_equal(np.asarray(ri),
+                                              np.asarray(qi))
+            for (ri, rs), (qi, qs) in zip(gi["gen"], si["gen"]):
+                assert abs(rs - qs) < 1e-2
+                np.testing.assert_allclose(np.asarray(ri, np.float32),
+                                           np.asarray(qi, np.float32),
+                                           atol=2.0)
+
+
+def test_batch_serving_multi_img_runs(gill):
+    """max_num_rets=2 through the engine: a boosted prompt emits two [IMG]
+    runs; the engine's tap ring must deliver BOTH runs' hiddens so the
+    batched outputs (two image_outputs dicts, distinct mapper inputs)
+    match the sequential path's max_num_rets=2 results exactly."""
+    batch = [
+        ["a photo of"],                         # 2 boosted runs
+        [_img(), "Q: what is this?\nA:"],       # mixed into the slot pool
+    ]
+    kw = dict(num_words=3, gen_scale_factor=1e6, max_num_rets=2,
+              num_inference_steps=2)
+    seq = [gill.generate_for_images_and_texts(p, **kw) for p in batch]
+    got = gill.generate_for_images_and_texts_batch(
+        batch, slots=2, chunk=3, **kw)
+    # the boosted prompt must actually produce two runs (caption, dict,
+    # caption, dict) or the test exercises nothing
+    n_dicts = sum(isinstance(x, dict) for x in seq[0])
+    assert n_dicts == 2, seq[0]
+    for g, s in zip(got, seq):
+        _assert_outputs_match(g, s)
 
 
 def test_no_retrieval_defaults_to_gen(gill):

@@ -202,6 +202,49 @@ def test_gill_engine_tap_at_chunk_boundary(core_params):
                                ref_hid[i: i + NUM_TOKENS], atol=2e-4)
 
 
+def _run_starts(tokens, nt):
+    return [i for i in range(len(tokens) - nt + 1)
+            if tokens[i: i + nt] == list(range(IMG_START, IMG_START + nt))]
+
+
+def test_gill_engine_multi_run_taps(core_params):
+    """max_img_runs > 1: the tap ring captures EACH [IMG] run's hidden
+    states (run k in ring row k), matching GILLCore.generate's full
+    hidden trace — the api's max_num_rets>1 path (reference
+    models.py:651 takes up to max_num_rets runs)."""
+    core, params = core_params
+    nt = NUM_TOKENS
+    rng = np.random.RandomState(21)
+    embs = _mk_embs(rng, 6, core.lm_dim)
+    # huge boost: [IMG0] re-fires right after each run completes
+    nw, runs = 4, 3
+    eng = GillDecodeEngine(core, params, slots=2, max_seq=64, chunk=5,
+                           prefill_buckets=(8,), unroll_layers=False,
+                           kv_dtype=jnp.float32, max_img_runs=runs)
+    out = eng.run([GillServeRequest(uid=0, embs=embs, num_words=nw,
+                                    img_scale=1e8, max_img_runs=runs)])
+    ref_toks, ref_hid = _core_generate(core, params, embs, nw,
+                                       scale=1e8, runs=runs)
+    assert out[0]["tokens"] == ref_toks
+    starts = _run_starts(ref_toks, nt)
+    assert len(starts) >= 2, "test must produce at least two [IMG] runs"
+    ring = out[0]["img_runs"]
+    assert ring.shape == (runs, nt, core.lm_dim)
+    for k, i in enumerate(starts[:runs]):
+        np.testing.assert_allclose(ring[k], ref_hid[i: i + nt], atol=2e-4,
+                                   err_msg=f"run {k}")
+    # legacy first-run field == ring row 0
+    np.testing.assert_array_equal(out[0]["img_hidden"], ring[0])
+    # a second run's hiddens must differ from the first (distinct context)
+    assert not np.allclose(ring[0], ring[1])
+
+    # a request demanding more runs than the ring is rejected up front
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        eng.run([GillServeRequest(uid=1, embs=embs, num_words=2,
+                                  max_img_runs=runs + 1)])
+
+
 def test_gill_engine_long_prompt_finds_bucket(core_params):
     """Default buckets must cover max_seq: a prompt longer than the last
     configured bucket previously crashed _refill mid-batch."""

@@ -26,16 +26,16 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_train_validate_orbax(tmp_path):
+def _spawn_workers(worker: str, tmp_path, world: int = 2,
+                   timeout: int = 1500):
     port = _free_port()
-    world = 2
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join(
         [os.path.join(HERE, "..")] +
         env.get("PYTHONPATH", "").split(os.pathsep))
     procs = [
         subprocess.Popen(
-            [sys.executable, os.path.join(HERE, "multihost_worker.py"),
+            [sys.executable, os.path.join(HERE, worker),
              str(pid), str(world), str(port), str(tmp_path)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
@@ -44,7 +44,7 @@ def test_two_process_train_validate_orbax(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=1500)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     finally:
         for p in procs:
@@ -52,6 +52,12 @@ def test_two_process_train_validate_orbax(tmp_path):
                 p.kill()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+    return outs
+
+
+def test_two_process_train_validate_orbax(tmp_path):
+    world = 2
+    _spawn_workers("multihost_worker.py", tmp_path, world)
 
     oks = []
     for pid in range(world):
@@ -62,3 +68,18 @@ def test_two_process_train_validate_orbax(tmp_path):
     assert all(ok["devices"] == 8 for ok in oks)
     assert oks[0]["losses"] == oks[1]["losses"]
     assert oks[0]["top1"] == oks[1]["top1"]
+
+
+def test_two_process_cli_orbax_resume(tmp_path):
+    """The full training CLI under 2 controllers with --ckpt-backend
+    orbax: an interrupted run resumed from its CLI-written Orbax
+    checkpoint must continue bit-consistently (VERDICT r3 #4 — the
+    worker asserts bitwise equality of the final adapters + optimizer
+    moments against an uninterrupted run)."""
+    world = 2
+    _spawn_workers("multihost_cli_worker.py", tmp_path, world,
+                   timeout=1800)
+    for pid in range(world):
+        path = tmp_path / f"cli_ok_{pid}.json"
+        assert path.exists(), f"cli worker {pid} wrote no success marker"
+        assert json.loads(path.read_text())["step"] == 4

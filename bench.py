@@ -306,6 +306,132 @@ def bench_serve(model, slots, n_requests=48, seed=7):
     return cont_tps, wave_tps
 
 
+def bench_serve_prefix(model, *, pfx=192, sfx=32, nreq=48, new=64,
+                       slots=16):
+    """Prefix caching on a chat-shaped trace: every request shares one
+    system-prompt prefix + a short per-user suffix. Baseline = the same
+    engine WITHOUT register_prefix (every prefill recomputes the prefix
+    at the full bucket). Returns (prefix_tps, plain_tps)."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gill_tpu.config import OPTConfig
+    from gill_tpu.models import opt as opt_mod
+    from gill_tpu.serve.engine import DecodeEngine, ServeRequest
+
+    cfg = OPTConfig.from_name(model)
+    params = jax.jit(lambda: opt_mod.quantize_params_w8(
+        opt_mod.init_dummy(cfg, jnp.bfloat16)))()
+    rng = np.random.RandomState(0)
+    prefix = rng.randint(2, 1000, size=pfx).tolist()
+    suffixes = [rng.randint(2, 1000, size=sfx).tolist() for _ in range(nreq)]
+    max_seq = 1
+    while max_seq < pfx + sfx + new:
+        max_seq *= 2
+
+    def run(use_prefix):
+        eng = DecodeEngine(params, cfg, slots=slots, max_seq=max_seq,
+                           chunk=32, prefill_buckets=(32, 64, 128, 256, 512),
+                           unroll_layers=True)
+        pid = eng.register_prefix(prefix) if use_prefix else None
+        reqs = [ServeRequest(uid=i, prompt=prefix + s, max_new_tokens=new,
+                             prefix_id=pid) for i, s in enumerate(suffixes)]
+        eng.warmup()
+        eng.run([ServeRequest(uid=10 ** 6 + i, prompt=prefix + suffixes[0],
+                              max_new_tokens=1, prefix_id=pid)
+                 for i in range(slots)])
+        t0 = _t.perf_counter()
+        out = eng.run(reqs)
+        dt = _t.perf_counter() - t0
+        assert all(len(v) == new for v in out.values())
+        return nreq * new / dt
+
+    plain_tps = run(False)
+    prefix_tps = run(True)
+    return prefix_tps, plain_tps
+
+
+def bench_sd_cross_batch(nreq: int = 4, steps: int = 50, size: int = 512):
+    """Cross-request SD batching (serve/sd_queue.py): N concurrent
+    1-image generation requests coalesced into one CFG denoise batch vs
+    the same N requests serialized per-request (the pre-queue /v1/gill
+    behavior). Returns (batched_img_s, serial_img_s)."""
+    import threading
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from gill_tpu.models.sd import unet as unet_mod
+    from gill_tpu.models.sd import vae as vae_mod
+    from gill_tpu.models.sd.pipeline import (SDPipelineConfig,
+                                             StableDiffusionPipeline)
+    from gill_tpu.serve.sd_queue import SDBatchQueue
+
+    cfg = SDPipelineConfig()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {
+        "unet": jax.tree_util.tree_map(
+            lambda x: jnp.zeros(x.shape, jnp.bfloat16),
+            unet_mod.init(k1, cfg.unet)),
+        "vae_decoder": jax.tree_util.tree_map(
+            lambda x: jnp.zeros(x.shape, jnp.bfloat16),
+            vae_mod.init_decoder(k2, cfg.vae)),
+    }
+    pipe = StableDiffusionPipeline(cfg, params)
+    embs = [jnp.zeros((1, 77, 768), jnp.float32) for _ in range(nreq)]
+    h = size // cfg.vae_scale
+    lats = [jax.random.normal(jax.random.PRNGKey(i), (1, h, h, 4),
+                              jnp.float32) for i in range(nreq)]
+
+    rounds = 3
+
+    def serial_run(r):
+        # the pre-queue /v1/gill discipline: handler threads' denoises
+        # serialize on the device, one 1-latent batch per request
+        for _ in range(r):
+            for e, l in zip(embs, lats):
+                jax.block_until_ready(pipe(prompt_embeds=e, latents=l,
+                                           num_inference_steps=steps))
+
+    q = SDBatchQueue(pipe, max_batch=8)
+
+    def batched_run(r):
+        # nreq concurrent clients, each submit->wait->resubmit: while one
+        # batch denoises the next round's jobs queue up and coalesce
+        def client(i):
+            for _ in range(r):
+                q.submit(embs[i], latents=lats[i],
+                         num_inference_steps=steps).result()
+
+        ts = [threading.Thread(target=client, args=(i,))
+              for i in range(nreq)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+
+    q.warmup(buckets=(1, 2, 4), num_inference_steps=steps)
+    serial_run(1)
+    batched_run(1)
+    t0 = _t.perf_counter()
+    serial_run(rounds)
+    dt_serial = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    batched_run(rounds)
+    dt_batch = _t.perf_counter() - t0
+    q.close()
+    import sys as _sys
+
+    print(f"# sd_batch stats: {q.stats} serial={dt_serial:.2f}s "
+          f"batched={dt_batch:.2f}s", file=_sys.stderr)
+    n = nreq * rounds
+    return n / dt_batch, n / dt_serial
+
+
 def bench_gill_serve(model, slots, n_requests=48, seed=13):
     """Continuous batching of the FULL GILL decode (serve/gill_engine.py:
     per-slot [IMG] ban/gate/boost/force-commit + hidden-tap capture) vs the
@@ -537,6 +663,14 @@ _MATRIX_RUNS = [
     ("serve_w8_s32", {"GILL_BENCH": "serve", "GILL_BENCH_W8": "1",
                       "GILL_BENCH_SLOTS": "32",
                       "GILL_BENCH_NREQ": "192"}, 420),
+    # Prefix caching (register_prefix + suffix-only prefills) on the
+    # chat-session workload: shared 192-token system prompt, 32-token
+    # user suffixes, 64 new tokens (VERDICT r3 #5).
+    ("serve_prefix", {"GILL_BENCH": "serve_prefix"}, 420),
+    # Cross-request SD batching (serve/sd_queue.py): 4 concurrent
+    # 1-image /v1/gill-style generations coalesced into one CFG batch vs
+    # serialized per-request denoises (VERDICT r3 #6).
+    ("sd_batch", {"GILL_BENCH": "sd_batch"}, 700),
     # Full-GILL-decode serving ([IMG] surgery + hidden taps in the chunk
     # program); baseline = one-request-at-a-time GILLCore.generate.
     ("gill_serve_w8", {"GILL_BENCH": "gill_serve",
@@ -761,6 +895,33 @@ def main():
             # reference serves requests one at a time (demo queue
             # concurrency 1) and is orders of magnitude off this scale.
             "vs_baseline": round(cont / wave, 3),
+        }))
+        return
+    if mode == "serve_prefix":
+        model = os.environ.get("GILL_BENCH_MODEL", "facebook/opt-2.7b")
+        prefix_tps, plain_tps = bench_serve_prefix(model)
+        print(json.dumps({
+            "metric": (f"{model.split('/')[-1]}_serve_prefix_cache_tokens"
+                       f"_per_sec_per_chip"),
+            "value": round(prefix_tps, 2),
+            "unit": "tokens/s/chip",
+            # baseline = the same engine WITHOUT register_prefix on the
+            # same chat trace (shared 192-token system prompt + 32-token
+            # user suffix, 64 new tokens, 48 requests / 16 slots)
+            "vs_baseline": round(prefix_tps / plain_tps, 3),
+        }))
+        return
+    if mode == "sd_batch":
+        nreq = int(os.environ.get("GILL_BENCH_NREQ", "4"))
+        bat, ser = bench_sd_cross_batch(nreq=nreq)
+        print(json.dumps({
+            "metric": f"sd15_512px_50step_cross_request_batch{nreq}_images"
+                      f"_per_sec_per_chip",
+            "value": round(bat, 3),
+            "unit": "img/s/chip",
+            # baseline = the same N concurrent 1-image requests serialized
+            # per-request on the device (pre-queue /v1/gill behavior)
+            "vs_baseline": round(bat / ser, 3),
         }))
         return
     if mode == "gill_serve":

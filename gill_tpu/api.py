@@ -77,6 +77,7 @@ class GILL:
         if auto_layout is None:
             auto_layout = jax.default_backend() == "tpu"
         self.auto_layout = auto_layout
+        self.sd_batcher = None   # see enable_sd_batching()
 
         self._vis_fn = jax.jit(
             lambda p, px: self.core.get_visual_embs(p, px, "captioning"))
@@ -269,15 +270,26 @@ class GILL:
             if self.sd_pipe is not None:
                 gen_emb_rep = jnp.broadcast_to(
                     gen_emb, (self.num_gen_images,) + gen_emb.shape[1:])
-                gen_max_bs = 8
+                gen_max_bs = 8    # reference per-request cap, models.py:724
                 images = []
-                for i in range(0, self.num_gen_images, gen_max_bs):
-                    arr = self.sd_pipe(
-                        prompt_embeds=gen_emb_rep[i:i + gen_max_bs],
+                if self.sd_batcher is not None:
+                    # cross-request batching: the shared queue coalesces
+                    # concurrent callers' latents into one CFG denoise
+                    futs = [self.sd_batcher.submit(
+                        gen_emb_rep[i:i + gen_max_bs],
                         guidance_scale=guidance_scale,
-                        num_inference_steps=num_inference_steps,
-                        rng=rng)
-                    images.extend(self._to_pil(arr))
+                        num_inference_steps=num_inference_steps, rng=rng)
+                        for i in range(0, self.num_gen_images, gen_max_bs)]
+                    for f in futs:
+                        images.extend(self._to_pil(f.result()))
+                else:
+                    for i in range(0, self.num_gen_images, gen_max_bs):
+                        arr = self.sd_pipe(
+                            prompt_embeds=gen_emb_rep[i:i + gen_max_bs],
+                            guidance_scale=guidance_scale,
+                            num_inference_steps=num_inference_steps,
+                            rng=rng)
+                        images.extend(self._to_pil(arr))
                 if self.index is not None and ret_emb is not None:
                     # Re-rank generated images by CLIP-space retrieval score
                     # (models.py:739-751) — scored on device.
@@ -406,6 +418,23 @@ class GILL:
         return outputs
 
     # -- online (streaming) serving --------------------------------------------
+
+    def enable_sd_batching(self, max_batch: int = 8, warmup: bool = False,
+                           **warmup_kw):
+        """Route this model's SD generations through a shared cross-request
+        batch queue (serve/sd_queue.py): concurrent /v1/gill callers'
+        denoises coalesce into one ≤max_batch-latent CFG batch instead of
+        serializing on the device. Per-request images are unchanged (each
+        request's initial latents come from its own rng)."""
+        if self.sd_batcher is None:
+            from gill_tpu.serve.sd_queue import SDBatchQueue
+
+            assert self.sd_pipe is not None, "no SD pipeline attached"
+            self.sd_batcher = SDBatchQueue(self.sd_pipe,
+                                           max_batch=max_batch)
+            if warmup:
+                self.sd_batcher.warmup(**warmup_kw)
+        return self.sd_batcher
 
     def get_online_engine(self, slots: int = 4, chunk: int = 8,
                           max_seq: int = 512, sampling: bool = False,

@@ -167,6 +167,15 @@ class StableDiffusionPipeline:
         ts, ratio = self.scheduler.timesteps(num_inference_steps)
         state = self.scheduler.init_state(latents.shape, latents.dtype)
         unet_params = self.params["unet"]
+        # Run the UNet in its PARAMS' dtype regardless of the latent dtype:
+        # __call__ draws f32 latents (scheduler math stays f32, beating the
+        # reference's fp16 trajectory) and without this cast the whole UNet
+        # silently promoted to f32 on the user path while the bench path
+        # (denoise with bf16 latents) ran bf16 — 2x activation traffic and
+        # a VMEM blowup in the Pallas GEGLU at small batches.
+        w_in = unet_params["conv_in"]["w"].dtype
+        unet_dtype = w_in if w_in in (jnp.bfloat16, jnp.float16,
+                                      jnp.float32) else jnp.bfloat16
         do_cfg = guidance_scale > 1.0
         # Multistep solvers with non-uniform timesteps (DPM-Solver++) need
         # the NEXT timestep explicitly; uniform-grid schedulers derive it
@@ -183,8 +192,11 @@ class StableDiffusionPipeline:
             # kernel on v5e (1.45 vs 1.55 img/s: exact-softmax VPU work +
             # int32->f32 score converts outweigh the int8 MXU gain), so the
             # quantized mode keeps bf16 attention.
-            eps = unet_mod.apply(unet_params, self.cfg.unet, lat_in,
-                                 t.astype(jnp.float32), ctx)
+            eps = unet_mod.apply(unet_params, self.cfg.unet,
+                                 lat_in.astype(unet_dtype),
+                                 t.astype(jnp.float32),
+                                 ctx.astype(unet_dtype))
+            eps = eps.astype(latents.dtype)
             if do_cfg:
                 eps_u, eps_t = jnp.split(eps, 2, axis=0)
                 eps = eps_u + guidance_scale * (eps_t - eps_u)
@@ -201,7 +213,13 @@ class StableDiffusionPipeline:
 
     @partial(jax.jit, static_argnames=("self",))
     def decode_latents(self, latents):
-        img = vae_mod.decode(self.params["vae_decoder"], self.cfg.vae, latents)
+        # run the VAE in its params' dtype (same rule as denoise: f32
+        # latents off the scheduler must not promote the whole decoder)
+        vp = self.params["vae_decoder"]
+        w = jax.tree_util.tree_leaves(vp)[0].dtype
+        if w in (jnp.bfloat16, jnp.float16, jnp.float32):
+            latents = latents.astype(w)
+        img = vae_mod.decode(vp, self.cfg.vae, latents)
         return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
 
     def __hash__(self):

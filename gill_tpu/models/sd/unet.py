@@ -36,6 +36,10 @@ from gill_tpu.ops.attention import dot_product_attention
 import os as _os  # noqa: E402
 
 FUSE_LN = _os.environ.get("GILL_SD_FUSE_LN", "0") == "1"
+# Slice the flash output's zero-padded head lanes off BEFORE the o-
+# projection so its contraction runs K=H*40 instead of K=H*128 (the padded
+# wo pays the 3.2x lane tax a third time). A/B probe knob.
+OPROJ_SLICE = _os.environ.get("GILL_SD_OPROJ_SLICE", "0") == "1"
 
 
 @dataclasses.dataclass
@@ -306,6 +310,12 @@ def _attention(p, x, ctx, num_heads: int, q8: bool = False, ln=None):
              ).reshape(b, s, num_heads, hp)
         o = flash_attention_bthd(q, k, v, causal=False, fast=True, q8=q8,
                                  scale=1.0 / math.sqrt(hd))
+        if OPROJ_SLICE:
+            # drop the zero lanes first: K = H*40 instead of H*128 in the
+            # o-projection (one strided copy vs 3.2x contraction depth)
+            o_sl = o[..., :hd].reshape(b, t, num_heads * hd)
+            return o_sl @ p["o"]["w"].astype(x.dtype) \
+                + p["o"]["b"].astype(x.dtype)
         # zero-padded lanes hit zero rows of the padded o-projection
         wo = p["o"]["w"].astype(x.dtype).reshape(num_heads, hd, d)
         wo = jnp.pad(wo, ((0, 0), (0, hp - hd), (0, 0))).reshape(

@@ -118,13 +118,20 @@ def geglu_ff(x, w1, b1, w2, b2, *, ln_gamma=None, ln_beta=None,
     x2 = x.reshape(-1, d)
     m = x2.shape[0]
 
+    esize = max(jnp.dtype(x.dtype).itemsize, jnp.dtype(w1.dtype).itemsize)
     if block_m == 0:
         block_m = 512 if d <= 640 else 256
+        if esize > 2:
+            # f32 operands double every buffer; halve the row block (the
+            # 2-byte sizing OOMed scoped VMEM at (2048, 640) f32 —
+            # serving-path compile failure before the pipeline ran the
+            # UNet in its params' dtype)
+            block_m //= 2
     block_m = min(block_m, max(8, ((m + 7) // 8) * 8))
     if block_n == 0:
         # chunk the intermediate so resident weights stay well under VMEM
         block_n = inner
-        while (d + d) * block_n * 2 * 2 > 8 * 1024 * 1024:  # wv+wg+w2, dbuf
+        while (d + d) * block_n * esize * 2 > 8 * 1024 * 1024:  # wv+wg+w2
             block_n //= 2
         block_n = max(block_n, 512)
     block_n = min(block_n, inner)

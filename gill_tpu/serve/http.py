@@ -64,7 +64,7 @@ def _serialize_gill_outputs(outs):
 
 def make_server(online: Optional[OnlineEngine] = None, tokenizer=None,
                 host: str = "127.0.0.1", port: int = 0,
-                gill=None) -> ThreadingHTTPServer:
+                gill=None, sd_batching: bool = True) -> ThreadingHTTPServer:
     """Build (not start) the server; port 0 picks a free port
     (server_address[1] after construction). Run with serve_forever().
 
@@ -72,7 +72,12 @@ def make_server(online: Optional[OnlineEngine] = None, tokenizer=None,
     gill:   an api.GILL model enabling /v1/gill — the FULL multimodal
             pipeline (interleaved text+image prompts, [IMG]-routed
             retrieval / decision / SD generation) over the online GILL
-            engine; concurrent requests share its slot pool."""
+            engine; concurrent requests share its slot pool.
+    sd_batching: coalesce concurrent /v1/gill SD denoises into one
+            cross-request CFG batch (serve/sd_queue.py) instead of
+            serializing them on the device."""
+    if gill is not None and sd_batching and gill.sd_pipe is not None:
+        gill.enable_sd_batching()
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"

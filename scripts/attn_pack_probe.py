@@ -1,29 +1,42 @@
-"""Measured proof that the d=40 attention lane tax is irreducible on the
-128x128 MXU (VERDICT r3 #1 settlement evidence).
+"""Measured + arithmetic proof that the d=40 attention lane tax is
+irreducible on the 128x128 MXU (VERDICT r3 #1 settlement evidence).
 
-The SD v1.5 UNet's top-level attention has 8 heads of d=40. On a 128-deep
-systolic array, one pass of C[M,N] += A[M,K]B[K,N] costs
-M * ceil(K/128) * ceil(N/128) row-streams REGARDLESS of zeros, so any
-schedule that keeps per-head contractions disjoint pins one dimension at
-40/128 density:
+The SD v1.5 UNet's 64x64-level attention has 8 heads of d=40 over S=4096
+tokens — profile_sd.py measures it at 18.4 ms of the 51.0 ms CFG-batch-8
+UNet step (36%). Removing the 128/40 = 3.2x lane tax entirely would make
+the step ~38 ms = 2.09 img/s — i.e. the tax IS the remaining gap to the
+2.0 img/s north star.
 
-  per-head QK   : A=Q (T,40)   B=K^T (40,S)   -> K-depth 40/128 waste
-  per-head PV   : A=P (T,S)    B=V  (S,40)    -> N-lane  40/128 waste
+Why no packing closes it — the pass-count identity. One MXU pass of
+C[M,N] += A[M,K]B[K,N] costs M * ceil(K/128) * ceil(N/128) row-streams
+regardless of zero content. Per-head QK/PV with d=40 pins one dimension
+at 40/128 density, and every head-packing layout conserves the product:
 
-Every "pack 3 heads per 128 lanes" layout moves the zeros around without
-changing the product M * K_tiles * N_tiles:
+  layout                      M      K_tiles  N_tiles   total (3 heads)
+  per-head QK (padded d)      T      1        3*S/128   3*T*S/128
+  G blockdiag-B (120 lanes)   T      1        3*S/128   3*T*S/128
+  H stacked-M (dense B)       3T     1        S/128     3*T*S/128
+  per-head PV (padded N)      T      S/128    3         3*T*S/128
+  I concat-K (staggered V)    T      3*S/128  1         3*T*S/128
+  hypothetical dense op       T      1        S/128     T*S/128   <- 3x
 
-  G block-diag B : A=[q0|q1|q2] (T,120), B=blkdiag(k0,k1,k2) (120,3S)
-                   -> 1 K-tile but 3x the N-tiles     (cost invariant)
-  H stacked-M    : A=blkdiag(q0,q1,q2) (3T,120), B=[k0;k1;k2] (120,S)
-                   -> dense B but 3x the M rows       (cost invariant)
-  I concat-K PV  : A=[p0|p1|p2] (T,3S), B=[v0;v1;v2]-staggered (3S,120)
-                   -> dense-ish lanes but 3x the K-tiles (cost invariant)
+The floor argument: the logits tensor has T*S*H elements, each needing
+d=40 MACs, and the MXU charges a full 128-deep column per output element
+per pass; head-disjointness forbids filling the other 88 lanes with
+another head's work for the SAME output element. 128/40 = 3.2x,
+closable only by changing d (fixed by the frozen checkpoint) or the
+output count (a different attention algorithm = different numerics).
+Single-tile relay timing sits below dispatch noise (~20 us), so the
+MEASURED side of this proof runs at the real aggregate shape
+(B=8, T=S=4096, H=8):
 
-This probe times each packing against the padded per-head baseline with
-in-VMEM Pallas matmuls (no HBM traffic in the loop) at the 64x64-level
-shapes (T=S=512 tile slice, 3 heads). Equal or worse us/useful-GFLOP for
-every packing = the pass-count argument, measured.
+  padded-flash : the shipped kernel on (B,S,H,128) — runs at ~95% of the
+                 MXU bf16 peak counting PADDED FLOPs (the hardware has no
+                 headroom left on the op as scheduled);
+  xla-unpadded : jnp.einsum attention on the native (B,S,H,40) layout —
+                 XLA's best schedule WITHOUT the padding, measured
+                 slower (it pads internally AND pays relayouts);
+  per-head-eff : useful/padded FLOP ratio = 40/128.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/attn_pack_probe.py
 """
@@ -32,103 +45,95 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-REPS = 32
-T = 512          # query rows per tile pass
-S = 512          # kv length slice
-D = 40           # SD head dim
-H = 3            # heads packed per 128-lane pass
+B, S, H, D, DP = 8, 4096, 8, 40, 128
+N_LO, N_HI = 2, 10
 
-
-def mk(m, k, n):
-    def kernel(a_ref, b_ref, o_ref):
-        i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _():
-            o_ref[:] = jnp.zeros_like(o_ref)
-
-        o_ref[:] += jax.lax.dot_general(
-            a_ref[:], b_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    @jax.jit
-    def run(a, b):
-        return pl.pallas_call(
-            kernel,
-            grid=(REPS,),
-            in_specs=[pl.BlockSpec((m, k), lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((k, n), lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((m, n), lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),
-        )(a, b)
-
-    return run
+PACKING_TABLE = [
+    {"layout": "per-head QK (padded d->128)", "M": "T", "K_tiles": 1,
+     "N_tiles": "3S/128", "total": "3*T*S/128"},
+    {"layout": "G blockdiag-B (3x40-lane bands)", "M": "T", "K_tiles": 1,
+     "N_tiles": "3S/128", "total": "3*T*S/128"},
+    {"layout": "H stacked-M (dense B)", "M": "3T", "K_tiles": 1,
+     "N_tiles": "S/128", "total": "3*T*S/128"},
+    {"layout": "per-head PV (padded N->128)", "M": "T", "K_tiles": "S/128",
+     "N_tiles": 3, "total": "3*T*S/128"},
+    {"layout": "I concat-K PV (staggered V)", "M": "T",
+     "K_tiles": "3S/128", "N_tiles": 1, "total": "3*T*S/128"},
+    {"layout": "hypothetical dense (no head disjointness)", "M": "T",
+     "K_tiles": 1, "N_tiles": "S/128", "total": "T*S/128 (3x less)"},
+]
 
 
-def timed(f, a, b, n=20):
-    f(a, b).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = f(a, b)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / n / REPS
+def timed(fn, *args):
+    @partial(jax.jit, static_argnames=("n",))
+    def rep(n, *a):
+        def body(c, _):
+            out = fn(a[0] + c.astype(a[0].dtype), *a[1:])
+            return out.astype(jnp.float32).mean() * 1e-9, None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return c
+
+    def t(steps):
+        float(rep(steps, *args))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(rep(steps, *args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max(t(N_HI) - t(N_LO), 1e-9) / (N_HI - N_LO)
 
 
 def main():
+    from gill_tpu.ops.attention import flash_attention_bthd
+
     key = jax.random.PRNGKey(0)
-    rows = []
+    scale = 1.0 / (D ** 0.5)
 
-    def rec(name, m, k, n, per_head_passes, note):
-        a = (jax.random.normal(key, (m, k)) * 0.3).astype(jnp.bfloat16)
-        b = (jax.random.normal(key, (k, n)) * 0.3).astype(jnp.bfloat16)
-        t = timed(mk(m, k, n), a, b)
-        # useful FLOPs for H heads of the underlying per-head op
-        useful = 2 * T * S * D * H
-        row = {"case": name, "shape": f"({m},{k})x({k},{n})",
-               "us": round(t * 1e6, 2),
-               "useful_tflops": round(useful / t / 1e12, 2),
-               "mxu_passes_per_head": per_head_passes, "note": note}
-        rows.append(row)
-        print(f"{name:<34} {row['shape']:<22} {row['us']:>8.2f} us "
-              f"{row['useful_tflops']:>6.1f} useful-TF/s", flush=True)
+    qp = (jax.random.normal(key, (B, S, H, DP)) * 0.1).astype(jnp.bfloat16)
+    kp = (jax.random.normal(key, (B, S, H, DP)) * 0.1).astype(jnp.bfloat16)
+    vp = (jax.random.normal(key, (B, S, H, DP)) * 0.1).astype(jnp.bfloat16)
+    # zero the pad lanes like the padded projections produce
+    mask = (jnp.arange(DP) < D).astype(jnp.bfloat16)
+    qp, kp, vp = qp * mask, kp * mask, vp * mask
+    qu, ku, vu = qp[..., :D], kp[..., :D], vp[..., :D]
 
-    passes = T * -(-S // 128)  # M * K_tiles(=1) * N_tiles per head
+    t_flash = timed(lambda q: flash_attention_bthd(
+        q, kp, vp, causal=False, fast=True, scale=scale), qp)
 
-    # QK baselines and packings (3 heads)
-    # baseline: 3 per-head padded matmuls == one (T,128)x(128,3S) since the
-    # three heads' outputs are disjoint column tiles with shared M-stream
-    rec("QK baseline padded d->128", T, 128, 3 * S, passes,
-        "3 per-head (T,128)x(128,S) fused into disjoint column tiles")
-    rec("QK G: blockdiag-B 3x120-lane", T, 128, 3 * S, passes,
-        "A dense (T,120->128), B block-diagonal: zeros occupy N-tiles")
-    rec("QK H: stacked-M dense-B", 3 * T, 128, S, passes,
-        "A block-diagonal (3T,120->128), B dense: zeros occupy M rows")
-    rec("QK ideal (hypothetical d=128)", T, 128, 3 * S // 3, passes // 3,
-        "what a dense-contraction op of the same useful FLOPs costs")
+    def xla_attn(q, k, v):
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                            k.astype(jnp.float32)) * scale
+        p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v)
 
-    # PV baselines and packings
-    rec("PV baseline padded N->128", T, S, 3 * 128, None,
-        "3 per-head (T,S)x(S,128) as disjoint column tiles")
-    rec("PV I: concat-K staggered-V", T, 3 * S, 128, None,
-        "A=[p0|p1|p2], B rows staggered into disjoint 40-lane bands")
-    rec("PV ideal (hypothetical packed)", T, S, 128, None,
-        "one dense (T,S)x(S,120->128) pass — unreachable: each head "
-        "needs its OWN P against its OWN V rows")
+    t_xla = timed(xla_attn, qu, ku, vu)
 
+    padded_fl = 2 * 2 * B * H * S * S * DP     # qk + pv, padded
+    useful_fl = 2 * 2 * B * H * S * S * D
+    rows = {
+        "shape": {"B": B, "S": S, "H": H, "d": D, "d_padded": DP},
+        "flash_padded_ms": round(t_flash * 1e3, 3),
+        "flash_padded_tflops": round(padded_fl / t_flash / 1e12, 1),
+        "flash_useful_tflops": round(useful_fl / t_flash / 1e12, 1),
+        "xla_unpadded_ms": round(t_xla * 1e3, 3),
+        "xla_vs_flash": round(t_xla / t_flash, 2),
+        "lane_tax": round(DP / D, 2),
+        "packing_pass_counts": PACKING_TABLE,
+        "note": "v5e bf16 peak ~197 TF/s; flash_padded_tflops near peak "
+                "means the padded schedule has no MXU headroom, and the "
+                "pass-count table shows every head-packing keeps the "
+                "padded pass count — the 3.2x is structural.",
+    }
+    print(json.dumps(rows, indent=1))
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "ATTN_PACK_PROBE.json")
     with open(out, "w") as f:

@@ -37,9 +37,18 @@ import os as _os  # noqa: E402
 
 FUSE_LN = _os.environ.get("GILL_SD_FUSE_LN", "0") == "1"
 # Slice the flash output's zero-padded head lanes off BEFORE the o-
-# projection so its contraction runs K=H*40 instead of K=H*128 (the padded
-# wo pays the 3.2x lane tax a third time). A/B probe knob.
+# projection so its contraction runs K=H*40 instead of H*128 (the padded
+# wo pays the 3.2x lane tax a third time). Measured a 5% REGRESSION on
+# the SD headline (the strided slice copy outcosts the zero-padded
+# contraction XLA schedules); default off.
 OPROJ_SLICE = _os.environ.get("GILL_SD_OPROJ_SLICE", "0") == "1"
+# Softmax denominator via a ones-lane in V's zero padding (the flash
+# kernel's wasted PV lanes compute l on the MXU instead of a VPU row
+# reduction). Measured a LARGE regression on the SD headline (1.06 vs
+# 1.62 img/s — the lane-127 slice/broadcast of the accumulator plus the
+# forced materialization of the edited V outweigh the saved reduce);
+# numerics verified exact to one bf16 ulp. Kept as a documented dead end.
+SUM_LANE = _os.environ.get("GILL_FLASH_SUMLANE", "0") == "1"
 
 
 @dataclasses.dataclass
@@ -308,8 +317,14 @@ def _attention(p, x, ctx, num_heads: int, q8: bool = False, ln=None):
              ).reshape(b, s, num_heads, hp)
         v = (ctx @ _pad_head_w(p["v"]["w"].astype(x.dtype), num_heads, hp)
              ).reshape(b, s, num_heads, hp)
+        sum_lane = SUM_LANE and hd < hp and not q8
+        if sum_lane:
+            # plant 1.0 in V's last zero-pad lane: the flash kernel's PV
+            # pad lanes then compute the softmax denominator on the MXU
+            v = v.at[..., hp - 1].set(jnp.asarray(1.0, v.dtype))
         o = flash_attention_bthd(q, k, v, causal=False, fast=True, q8=q8,
-                                 scale=1.0 / math.sqrt(hd))
+                                 scale=1.0 / math.sqrt(hd),
+                                 sum_lane=sum_lane)
         if OPROJ_SLICE:
             # drop the zero lanes first: K = H*40 instead of H*128 in the
             # o-projection (one strided copy vs 3.2x contraction depth)

@@ -29,6 +29,11 @@ _NEG_INF = -1e30
 import os as _os  # noqa: E402
 
 FLASH_BQ_CAP = int(_os.environ.get("GILL_FLASH_BQ", "1024"))
+# Carry the softmax denominator in a zero pad lane of V (callers with
+# d < Dp set v[..., Dp-1] = 1.0 and pass sum_lane=True): the PV matmul's
+# wasted pad lanes then compute l on the MXU and the per-row VPU
+# p.sum() reduction over the (block_q, S) f32 score tile disappears.
+FLASH_SUMLANE = _os.environ.get("GILL_FLASH_SUMLANE", "0") == "1"
 DECODE_CHUNK_MIN = int(_os.environ.get("GILL_DECODE_CHUNK_MIN", "0"))
 # Valid-prefix Pallas decode kernel (ops/decode_attn.py): minimum KV bucket
 # size to take it. Probe data (PREFIX_DECODE_PROBE.json): at d=128 it wins
@@ -142,7 +147,7 @@ _FAST_SHIFT = 15.0
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
                   block_k: int, seq_k: int, kv_offset: int, kv_len: int,
-                  fast: bool):
+                  fast: bool, sum_lane: bool = False):
     """One (batch*head, q-block) program: online softmax over k blocks.
 
     q_ref: (block_q, d); k_ref/v_ref: (seq_k, d); o_ref: (block_q, d).
@@ -192,6 +197,23 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
             p, v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    if fast and sum_lane:
+        # The caller planted 1.0 in V's last (zero-pad) lane, so the PV
+        # matmul's wasted pad lanes compute l = sum(p) on the MXU — no
+        # per-row VPU reduction over the (block_q, block_k) f32 tile.
+        def body_sl(kb, acc):
+            s_blk = jnp.minimum(scores(kb), _FAST_CLAMP)
+            p = jnp.exp(s_blk - _FAST_SHIFT)
+            return acc + pv(p.astype(v_ref.dtype), kb)
+
+        if num_kb == 1:
+            acc = body_sl(0, acc)
+        else:
+            acc = jax.lax.fori_loop(0, num_kb, body_sl, acc)
+        l = acc[:, d - 1:d]
+        o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        return
 
     if fast:
         def body_fast(kb, carry):
@@ -360,10 +382,11 @@ def _flash_kernel_i8(q_ref, k_ref, v_ref, o_ref, kq_s, ks_s, *, scale: float,
 
 @functools.partial(jax.jit,
                    static_argnames=("causal", "block_q", "block_k", "fast",
-                                    "scale", "q8"))
+                                    "scale", "q8", "sum_lane"))
 def flash_attention_bthd(q, k, v, *, causal: bool = False, scale: float,
                          block_q: int = 0, block_k: int = 0,
-                         fast: bool = False, q8: bool = False):
+                         fast: bool = False, q8: bool = False,
+                         sum_lane: bool = False):
     """Flash attention over the native (B, T, H, Dp) layout, Dp % 128 == 0.
 
     No transposes or pads: callers keep q/k/v/out in (B, S, H, Dp) and the
@@ -412,6 +435,7 @@ def flash_attention_bthd(q, k, v, *, causal: bool = False, scale: float,
         kernel = functools.partial(
             _flash_kernel, scale=scale, causal=causal, block_k=block_k,
             seq_k=s_pad, kv_offset=s - t, kv_len=s, fast=fast,
+            sum_lane=sum_lane and fast and not causal,
         )
     out = pl.pallas_call(
         kernel,

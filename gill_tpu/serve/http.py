@@ -128,15 +128,18 @@ def make_server(online: Optional[OnlineEngine] = None, tokenizer=None,
                         "{'image_b64': ...} objects")
             if not prompts:
                 raise ValueError("need non-empty 'prompts'")
+            max_num_rets = int(req.get("max_num_rets", 1))
             handle = gill.generate_async(
                 prompts, num_words=int(req.get("num_words", 32)),
                 min_word_tokens=int(req.get("min_word_tokens", 0)),
                 ret_scale_factor=float(req.get("ret_scale_factor", 1.0)),
-                gen_scale_factor=float(req.get("gen_scale_factor", 1.0)))
+                gen_scale_factor=float(req.get("gen_scale_factor", 1.0)),
+                max_num_rets=max_num_rets)
             outs = gill.finalize_async(
                 handle,
                 guidance_scale=float(req.get("guidance_scale", 7.5)),
-                num_inference_steps=int(req.get("num_inference_steps", 50)))
+                num_inference_steps=int(req.get("num_inference_steps", 50)),
+                max_num_rets=max_num_rets)
             self._json(200, {"outputs": _serialize_gill_outputs(outs)})
 
         def _chunk(self, data: bytes):

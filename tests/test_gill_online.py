@@ -152,6 +152,10 @@ def test_http_gill_route_end_to_end():
              "num_inference_steps": 2},
             {"prompts": ["a photo of"], "num_words": 3,
              "gen_scale_factor": 1e6, "num_inference_steps": 2},
+            # multi-[IMG]: max_num_rets=2 through HTTP (tap ring)
+            {"prompts": ["two pictures of"], "num_words": 3,
+             "gen_scale_factor": 1e6, "num_inference_steps": 2,
+             "max_num_rets": 2},
         ]
         results = [None] * len(bodies)
 
@@ -177,6 +181,9 @@ def test_http_gill_route_end_to_end():
             png = base64.b64decode(d["gen"][0]["image_b64"])
             im = Image.open(io.BytesIO(png))
             assert im.size == (16, 16)
+        # the boosted max_num_rets=2 request emits two [IMG] runs -> two
+        # image_outputs dicts (caption, dict, caption, dict)
+        assert sum(isinstance(x, dict) for x in results[2]) == 2, results[2]
 
         # no-prompts -> 400
         rq = urllib.request.Request(

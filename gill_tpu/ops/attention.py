@@ -36,11 +36,17 @@ FLASH_BQ_CAP = int(_os.environ.get("GILL_FLASH_BQ", "1024"))
 FLASH_SUMLANE = _os.environ.get("GILL_FLASH_SUMLANE", "0") == "1"
 DECODE_CHUNK_MIN = int(_os.environ.get("GILL_DECODE_CHUNK_MIN", "0"))
 # Valid-prefix Pallas decode kernel (ops/decode_attn.py): minimum KV bucket
-# size to take it. Probe data (PREFIX_DECODE_PROBE.json): at d=128 it wins
-# for S >= 512 when lengths vary (mixed 1.38x, half-parked 1.9-3.6x) and is
-# a wash at full occupancy (0.99-1.17x); at S=128 it loses (0.54x) — the
-# per-row DMA setup doesn't amortize over one or two blocks. 0 disables.
-PREFIX_DECODE_MIN = int(_os.environ.get("GILL_PREFIX_DECODE_MIN", "512"))
+# size to take it; 0 (the default) disables. OP-LEVEL the kernel wins at
+# d=128 buckets >= 512 when lengths vary (PREFIX_DECODE_PROBE.json: mixed
+# 1.10-1.26x, half-parked 2x) and loses at short buckets (0.69x). But
+# END-TO-END it is a measured REGRESSION: the opt-6.7b 512+256 b8 decode
+# bench drops 415 -> 305 tok/s with the kernel on — inside the
+# weight-bandwidth-bound W8 step, XLA overlaps the full-cache read with
+# the surrounding weight streams, while the Pallas custom call is a
+# scheduling boundary that serializes its DMA against them. Parked
+# default-off with its tests; re-gate if a workload's cache traffic
+# dominates its weight traffic (very long contexts at small models).
+PREFIX_DECODE_MIN = int(_os.environ.get("GILL_PREFIX_DECODE_MIN", "0"))
 
 
 # ---------------------------------------------------------------------------

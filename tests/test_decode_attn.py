@@ -81,12 +81,15 @@ def test_parked_slot_returns_own_value():
                                atol=1e-5, rtol=1e-5)
 
 
-def test_dispatch_gate():
+def test_dispatch_gate(monkeypatch):
     """The dispatcher takes the kernel only for supported shapes AND long
     buckets (S >= PREFIX_DECODE_MIN): the shape predicate alone admits
     configs where the kernel is a measured regression (short67_b64 in
-    PREFIX_DECODE_PROBE.json)."""
+    PREFIX_DECODE_PROBE.json). The default MIN is 0 (disabled — the
+    kernel is an end-to-end regression inside the weight-bound decode
+    step, see ops/attention.py); the gate is tested at MIN=512."""
     from gill_tpu.ops import attention as attn_mod
+    monkeypatch.setattr(attn_mod, "PREFIX_DECODE_MIN", 512)
     lens = jnp.full((2,), 7, jnp.int32)
     kv1 = (jnp.zeros((2, 1, 4, 128), jnp.bfloat16),) * 2
 

@@ -26,6 +26,9 @@ def main():
     p.add_argument("--weights-dir", default=None)
     p.add_argument("--num-inference-steps", type=int, default=50)
     p.add_argument("--limit", type=int, default=-1)
+    p.add_argument("--batch", type=int, default=1,
+                   help="dialogs decoded concurrently over the "
+                        "continuous-batching engine")
     args = p.parse_args()
 
     import jax
@@ -52,21 +55,38 @@ def main():
     rng = jax.random.PRNGKey(42)
 
     n = len(dialogs) if args.limit <= 0 else min(args.limit, len(dialogs))
-    for idx in range(n):
+
+    def context_of(idx):
         dialog = dialogs[idx]
-        image_id = str(dialog["image_id"]).rjust(12, "0")
         contexts = []
         for turn in dialog["dialog"]:
             contexts.append("Q: " + questions[turn["question"]] + "?")
             contexts.append("A: " + answers[turn["answer"]])
-        cond_caption = "\n".join(contexts)
+        cond = "\n".join(contexts)
         if idx < 3:
-            print(cond_caption)
-        outs = model.generate_for_images_and_texts(
-            [cond_caption], num_words=2, gen_scale_factor=1e5, generator=rng,
-            num_inference_steps=args.num_inference_steps)
-        outs[1]["gen"][0][0].save(
-            os.path.join(args.output_dir, f"{image_id}.png"))
+            print(cond)
+        return cond, str(dialog["image_id"]).rjust(12, "0")
+
+    kw = dict(num_words=2, gen_scale_factor=1e5, generator=rng,
+              num_inference_steps=args.num_inference_steps)
+    if args.batch > 1:
+        # text-only prompts: decode concurrently over the slot pool
+        # (greedy tokens identical to the sequential path; pixels
+        # match to float tolerance — see tests/test_evals_e2e.py)
+        for lo in range(0, n, args.batch):
+            pairs = [context_of(i) for i in range(lo, min(lo + args.batch,
+                                                          n))]
+            all_outs = model.generate_for_images_and_texts_batch(
+                [[c] for c, _ in pairs], slots=min(8, len(pairs)), **kw)
+            for outs, (_, image_id) in zip(all_outs, pairs):
+                outs[1]["gen"][0][0].save(
+                    os.path.join(args.output_dir, f"{image_id}.png"))
+    else:
+        for idx in range(n):
+            cond, image_id = context_of(idx)
+            outs = model.generate_for_images_and_texts([cond], **kw)
+            outs[1]["gen"][0][0].save(
+                os.path.join(args.output_dir, f"{image_id}.png"))
 
 
 if __name__ == "__main__":

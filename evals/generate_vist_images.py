@@ -28,6 +28,13 @@ def main():
     p.add_argument("--weights-dir", default=None)
     p.add_argument("--num-inference-steps", type=int, default=50)
     p.add_argument("--limit", type=int, default=-1)
+    p.add_argument("--batch", type=int, default=1,
+                   help="stories decoded concurrently over the "
+                        "continuous-batching engine (>1 uses "
+                        "generate_for_images_and_texts_batch; greedy "
+                        "tokens are proven identical to the sequential "
+                        "path — tests/test_api.py; pixels match to "
+                        "float tolerance)")
     args = p.parse_args()
 
     import jax
@@ -46,15 +53,14 @@ def main():
     items = list(vist_data["annotations"].items())
     if args.limit > 0:
         items = items[: args.limit]
-    for story_idx, (story_id, story_data) in enumerate(items):
+
+    def build_prompts(story_id, story_data):
         image_paths = [os.path.join(image_dir, s["image_id"] + ".png")
                        for s in story_data][:-1]
-        gt_image_id = story_data[-1]["image_id"]
-        captions = [s["caption"] for s in story_data]
         if not all(os.path.exists(pth) for pth in image_paths):
             print(f"Missing images; skipping story {story_id}")
-            continue
-
+            return None, None
+        captions = [s["caption"] for s in story_data]
         input_data = []
         for i, caption in enumerate(captions):
             input_data.append(caption)
@@ -62,15 +68,44 @@ def main():
                 with open(image_paths[i], "rb") as f:
                     input_data.append(
                         Image.open(f).convert("RGB").resize((224, 224)))
+        return input_data, story_data[-1]["image_id"]
 
-        outs = model.generate_for_images_and_texts(
-            input_data, num_words=2, gen_scale_factor=1e5, generator=rng,
-            num_inference_steps=args.num_inference_steps)
+    kw = dict(num_words=2, gen_scale_factor=1e5, generator=rng,
+              num_inference_steps=args.num_inference_steps)
+    n_saved = 0
+
+    def save(outs, gt_image_id):
+        nonlocal n_saved
         gen_img = outs[1]["gen"][0][0]
         out_path = os.path.join(args.output_dir, f"{gt_image_id}.png")
         gen_img.save(out_path)
-        if story_idx < 3:
+        if n_saved < 3:
             print("Saved", out_path)
+        n_saved += 1
+
+    if args.batch > 1:
+        # decode many stories concurrently over the slot pool; greedy
+        # tokens are identical to the sequential path
+        for lo in range(0, len(items), args.batch):
+            prompts, ids = [], []
+            for story_id, story_data in items[lo: lo + args.batch]:
+                input_data, gt_id = build_prompts(story_id, story_data)
+                if input_data is not None:
+                    prompts.append(input_data)
+                    ids.append(gt_id)
+            if not prompts:
+                continue
+            all_outs = model.generate_for_images_and_texts_batch(
+                prompts, slots=min(8, len(prompts)), **kw)
+            for outs, gt_id in zip(all_outs, ids):
+                save(outs, gt_id)
+    else:
+        for story_id, story_data in items:
+            input_data, gt_id = build_prompts(story_id, story_data)
+            if input_data is None:
+                continue
+            outs = model.generate_for_images_and_texts(input_data, **kw)
+            save(outs, gt_id)
 
 
 if __name__ == "__main__":

@@ -60,3 +60,32 @@ def test_generate_vist_images_e2e(ckpt_dir, vist_dir, tmp_path, monkeypatch):  #
     ccs.main()
     score = float(open(score_file).read())
     assert -1.0 <= score <= 1.0
+
+
+def test_generate_vist_images_batched_matches_sequential(
+        ckpt_dir, vist_dir, tmp_path, monkeypatch):  # noqa: F811
+    """--batch routes stories through the continuous-batching engine.
+
+    Greedy TOKENS are exactly equal to the sequential path (test_api);
+    the tapped [IMG] hiddens differ in float accumulation order (the
+    engine runs the LM at batch=slots, the sequential path at batch=1),
+    so after SD amplification the pixels match only to a tight tolerance.
+    """
+    monkeypatch.setenv("GILL_TPU_TINY_SD", "1")
+    import generate_vist_images as gv
+
+    seq_dir, bat_dir = str(tmp_path / "seq"), str(tmp_path / "bat")
+    monkeypatch.setattr(sys, "argv", [
+        "generate_vist_images.py", seq_dir, "--model-dir", ckpt_dir,
+        "--vist-dir", vist_dir, "--num-inference-steps", "2"])
+    gv.main()
+    monkeypatch.setattr(sys, "argv", [
+        "generate_vist_images.py", bat_dir, "--model-dir", ckpt_dir,
+        "--vist-dir", vist_dir, "--num-inference-steps", "2",
+        "--batch", "4"])
+    gv.main()
+    assert os.path.exists(os.path.join(bat_dir, "im2.png"))
+    a = np.asarray(Image.open(os.path.join(seq_dir, "im2.png"))).astype(np.int32)
+    b = np.asarray(Image.open(os.path.join(bat_dir, "im2.png"))).astype(np.int32)
+    assert np.abs(a - b).max() <= 12, np.abs(a - b).max()
+    assert np.abs(a - b).mean() <= 3.0, np.abs(a - b).mean()

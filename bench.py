@@ -354,6 +354,88 @@ def bench_serve_prefix(model, *, pfx=192, sfx=32, nreq=48, new=64,
     return prefix_tps, plain_tps
 
 
+def bench_gill_prefix(model, *, pfx=192, sfx=32, nreq=48, new=64,
+                      slots=16):
+    """Embedding-level prefix caching on the FULL GILL serving engine
+    (gill_engine.register_prefix): a chat-session trace where every
+    request shares one system-prompt/history embedding prefix and sends a
+    short per-turn suffix. Baseline = the same engine without
+    register_prefix (every prefill recomputes the prefix at the full
+    bucket). Returns (prefix_tps, plain_tps)."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gill_tpu.config import CLIPVisionConfig, GILLConfig, OPTConfig
+    from gill_tpu.models import opt as opt_mod
+    from gill_tpu.models.gill import GILLCore
+    from gill_tpu.serve.gill_engine import GillDecodeEngine, GillServeRequest
+
+    opt_cfg = OPTConfig.from_name(model)
+    nt = 8
+    cfg = GILLConfig(opt_version=model, num_tokens=nt)
+    vis_cfg = CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                               num_layers=2, num_heads=2, image_size=32,
+                               patch_size=16)
+    core = GILLCore(cfg=cfg, opt_cfg=opt_cfg, vis_cfg=vis_cfg,
+                    vocab_len=opt_cfg.vocab_size + nt + 1,
+                    img_start=opt_cfg.vocab_size + 1,
+                    pad_token_id=1, bos_token_id=2)
+    w8 = os.environ.get("GILL_BENCH_W8", "0") == "1"
+
+    def make_params():
+        lm = opt_mod.init_dummy(opt_cfg, jnp.bfloat16)
+        lm = opt_mod.resize_embeddings(lm, core.vocab_len)
+        if w8:
+            lm = opt_mod.quantize_params_w8(lm)
+        img = jnp.zeros((nt, opt_cfg.word_embed_proj_dim), jnp.bfloat16)
+        return {"lm": lm, "adapters": {"img_embeddings": img}}
+
+    params = jax.jit(make_params)()
+    E = opt_cfg.word_embed_proj_dim
+    rng = np.random.RandomState(0)
+    bf16 = np.dtype(jnp.bfloat16)
+    prefix = (rng.randn(pfx, E).astype(np.float32) * 0.02).astype(bf16)
+    suffixes = [(rng.randn(sfx, E).astype(np.float32) * 0.02).astype(bf16)
+                for _ in range(nreq)]
+    max_seq = 1
+    while max_seq < pfx + sfx + new + nt:
+        max_seq *= 2
+
+    def run(use_prefix):
+        eng = GillDecodeEngine(core, params, slots=slots, max_seq=max_seq,
+                               chunk=32,
+                               prefill_buckets=(32, 64, 128, 256))
+        pid = eng.register_prefix(prefix) if use_prefix else None
+
+        def mk(uid, s):
+            if use_prefix:
+                return GillServeRequest(uid=uid, embs=s, num_words=new,
+                                        prefix_id=pid,
+                                        img_scale=1e4 if uid % 4 == 0
+                                        else 1.0)
+            return GillServeRequest(uid=uid,
+                                    embs=np.concatenate([prefix, s]),
+                                    num_words=new,
+                                    img_scale=1e4 if uid % 4 == 0 else 1.0)
+
+        eng.warmup()
+        # warm the (prefix-)prefill variants this trace hits
+        eng.run([mk(10 ** 6 + i, suffixes[0]) for i in range(slots)])
+        reqs = [mk(i, s) for i, s in enumerate(suffixes)]
+        t0 = _t.perf_counter()
+        out = eng.run(reqs)
+        dt = _t.perf_counter() - t0
+        assert len(out) == nreq
+        return nreq * new / dt
+
+    plain_tps = run(False)
+    prefix_tps = run(True)
+    return prefix_tps, plain_tps
+
+
 def bench_sd_cross_batch(nreq: int = 4, steps: int = 50, size: int = 512):
     """Cross-request SD batching (serve/sd_queue.py): N concurrent
     1-image generation requests coalesced into one CFG denoise batch vs
@@ -667,6 +749,10 @@ _MATRIX_RUNS = [
     # chat-session workload: shared 192-token system prompt, 32-token
     # user suffixes, 64 new tokens (VERDICT r3 #5).
     ("serve_prefix", {"GILL_BENCH": "serve_prefix"}, 420),
+    # Embedding-level prefix caching on the GILL engine (chat sessions:
+    # shared system-prompt/history embedding prefix, suffix-only turns).
+    ("gill_prefix", {"GILL_BENCH": "gill_prefix",
+                     "GILL_BENCH_W8": "1"}, 600),
     # Cross-request SD batching (serve/sd_queue.py): 4 concurrent
     # 1-image /v1/gill-style generations coalesced into one CFG batch vs
     # serialized per-request denoises (VERDICT r3 #6).
@@ -908,6 +994,20 @@ def main():
             # baseline = the same engine WITHOUT register_prefix on the
             # same chat trace (shared 192-token system prompt + 32-token
             # user suffix, 64 new tokens, 48 requests / 16 slots)
+            "vs_baseline": round(prefix_tps / plain_tps, 3),
+        }))
+        return
+    if mode == "gill_prefix":
+        model = os.environ.get("GILL_BENCH_MODEL", "facebook/opt-2.7b")
+        prefix_tps, plain_tps = bench_gill_prefix(model)
+        print(json.dumps({
+            "metric": (f"{model.split('/')[-1]}_gill_serve_prefix_cache"
+                       f"_tokens_per_sec_per_chip"),
+            "value": round(prefix_tps, 2),
+            "unit": "tokens/s/chip",
+            # baseline = the same GILL engine WITHOUT register_prefix on
+            # the same chat trace (shared 192-row embedding prefix +
+            # 32-row suffixes, 64 new tokens, 48 requests / 16 slots)
             "vs_baseline": round(prefix_tps / plain_tps, 3),
         }))
         return

@@ -124,12 +124,14 @@ class GILL:
 
     # -- prompt assembly -------------------------------------------------------
 
-    def _encode_prompts(self, prompts: List, always_add_bos: bool = False):
+    def _encode_prompts(self, prompts: List, always_add_bos: bool = False,
+                        add_bos: bool = True):
         """Interleaved [PIL.Image | str] -> (embs (1,T,E), ids (1,T) with
         IGNORE at image positions). BOS added once unless always_add_bos
-        (reference models.py:600-626)."""
+        (reference models.py:600-626). add_bos=False: these prompts
+        CONTINUE a sequence (e.g. the suffix after a registered serving
+        prefix, which already holds the BOS)."""
         embs, ids = [], []
-        add_bos = True
         for p in prompts:
             if isinstance(p, Image.Image):
                 px = image_utils.clip_preprocess(p, self.core.cfg.image_size)
@@ -476,14 +478,20 @@ class GILL:
                        temperature: float = 0.0, top_p: float = 1.0,
                        seed: int = 0, max_num_rets: int = 1,
                        always_add_bos: bool = False, *, slots: int = 4,
-                       chunk: int = 8, max_seq: int = 512):
+                       chunk: int = 8, max_seq: int = 512,
+                       prefix_id: Optional[int] = None):
         """Submit one interleaved prompt to the online serving engine;
         returns a GillRequestHandle whose .tokens stream in (valid prefix)
         and whose .result() blocks until completion. Concurrent callers
         share the slot pool (continuous batching). Finish with
         finalize_async() to get the generate_for_images_and_texts-shaped
-        outputs."""
-        embs, _ = self._encode_prompts(prompts, always_add_bos)
+        outputs.
+
+        prefix_id (from register_prefix_async): prompts then carry only
+        the NEW turn — the registered prefix's KV rows are reused and no
+        BOS is re-added."""
+        embs, _ = self._encode_prompts(prompts, always_add_bos,
+                                       add_bos=prefix_id is None)
         online = self.get_online_engine(slots=slots, chunk=chunk,
                                         max_seq=max_seq,
                                         sampling=temperature > 0,
@@ -495,7 +503,27 @@ class GILL:
                              num_words, min_word_tokens=min_word_tokens,
                              img_scale=scale, temperature=temperature,
                              top_p=top_p, seed=seed,
-                             max_img_runs=max_num_rets)
+                             max_img_runs=max_num_rets,
+                             prefix_id=prefix_id)
+
+    def register_prefix_async(self, prompts: List, *, slots: int = 4,
+                              chunk: int = 8, max_seq: int = 512,
+                              sampling: bool = False,
+                              max_num_rets: int = 1) -> int:
+        """Register a shared conversation prefix (system prompt + history,
+        interleaved text and images) with the online GILL serving engine:
+        its KV rows are prefilled once, and later generate_async calls
+        passing the returned prefix_id send only their new prompts.
+        Prefix ids are scoped to ONE engine configuration — use the same
+        slots/chunk/max_seq/sampling/max_num_rets on the follow-ups."""
+        embs, _ = self._encode_prompts(prompts)
+        online = self.get_online_engine(slots=slots, chunk=chunk,
+                                        max_seq=max_seq, sampling=sampling,
+                                        max_img_runs=max_num_rets)
+        emb_dt = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                  else jnp.float32)
+        return online.register_prefix(
+            np.asarray(jnp.asarray(embs[0], emb_dt)))
 
     def finalize_async(self, handle, generator=None,
                        guidance_scale: float = 7.5,

@@ -21,7 +21,11 @@ engine.py serves a plain LM; this engine serves GILLCore's decode semantics
   * scheduling is the asynchronous chunk pipeline of engine.run_pipelined:
     GILL generation is closed-budget (num_words + (num_tokens-1) *
     max_img_runs scan steps, no EOS), so refills are planned entirely
-    host-side and the device runs chunk-to-chunk without host syncs.
+    host-side and the device runs chunk-to-chunk without host syncs;
+  * register_prefix() caches a shared EMBEDDING prefix's KV rows (a chat
+    session's system prompt + history, images included) so follow-up
+    turns prefill only their suffix rows — the plain-LM engine's prefix
+    caching lifted from token ids to embedding sequences.
 
 Greedy decode only (temperature 0 — the inference-examples/demo default).
 """
@@ -43,7 +47,8 @@ from gill_tpu.serve.engine import _bucket
 @dataclass
 class GillServeRequest:
     uid: int
-    embs: np.ndarray               # (P, E) interleaved prompt embeddings
+    embs: np.ndarray               # (P, E) interleaved prompt embeddings;
+                                   # with prefix_id set: the SUFFIX rows only
     num_words: int
     min_word_tokens: int = 0
     img_scale: float = 1.0         # ret_scale * gen_scale boost on [IMG0]
@@ -51,6 +56,10 @@ class GillServeRequest:
     temperature: float = 0.0       # 0 = greedy; needs engine sampling=True
     top_p: float = 1.0
     seed: int = 0                  # per-request sampling stream
+    prefix_id: Optional[int] = None  # from GillDecodeEngine.register_prefix:
+                                     # embs then carry only the rows AFTER
+                                     # the cached prefix (chat sessions do
+                                     # not resend history embeddings)
 
 
 @dataclass
@@ -142,8 +151,11 @@ class GillDecodeEngine:
         self._dstate = None
         self._dtap = None
         self._state: List[Optional[_GSlot]] = [None] * slots
+        self._prefixes: Dict[int, dict] = {}
+        self._next_prefix_id = 0
         self.stats = {"prefills": 0, "prefill_reqs": 0, "chunks": 0,
-                      "decode_steps": 0, "tokens_out": 0}
+                      "decode_steps": 0, "tokens_out": 0,
+                      "prefix_hits": 0, "prefix_tokens_saved": 0}
 
     # -- state ------------------------------------------------------------
 
@@ -303,6 +315,136 @@ class GillDecodeEngine:
 
         return prefill
 
+    # -- embedding-level prefix caching ------------------------------------
+    # A GILL chat session's shared context (system prompt + history,
+    # including image embeddings) is an EMBEDDING prefix: register it once,
+    # cache its KV rows device-side, and later requests carry only the new
+    # turn's suffix rows. This is the plain-LM engine's register_prefix
+    # (engine.py) lifted from token ids to the embedding sequences this
+    # engine prefills (beyond-reference; the reference re-runs the full
+    # prompt every turn, gill/models.py:600-626).
+
+    def register_prefix(self, embs) -> int:
+        """Prefill a shared (P, E) embedding prefix ONCE and cache its KV
+        rows; requests pass the returned id as GillServeRequest.prefix_id
+        with embs holding only their suffix rows. Memory: L*2*H*Dh*2
+        bytes/row (~0.3 MB/row at opt-2.7b bf16) per registered prefix.
+
+        The suffix prefill runs at a STATIC offset equal to the prefix
+        length, so each distinct registered length compiles one program
+        variant per (suffix bucket, wave size) on first use."""
+        embs = np.asarray(embs)
+        if embs.ndim != 2 or embs.shape[1] != self.emb_dim:
+            raise ValueError(f"prefix embs must be (P, {self.emb_dim}), "
+                             f"got {embs.shape}")
+        if not 1 <= embs.shape[0] < self.max_seq:
+            raise ValueError(f"prefix length {embs.shape[0]} must be in "
+                             f"[1, max_seq={self.max_seq})")
+        tgt = self.cache["k"].dtype
+        if tgt == jnp.int8:
+            tgt = jnp.bfloat16
+        with self._ctx():
+            kv = self._prefix_kv_fn(self.params,
+                                    jnp.asarray(embs, tgt)[None],
+                                    plen=embs.shape[0])
+            jax.block_until_ready(kv["k"])
+        pid = self._next_prefix_id
+        self._next_prefix_id += 1
+        self._prefixes[pid] = {"n": int(embs.shape[0]),
+                               "k": kv["k"], "v": kv["v"]}
+        return pid
+
+    @functools.cached_property
+    def _prefix_kv_fn(self):
+        cfg = self.cfg
+        kv_dtype = self.cache["k"].dtype
+
+        @functools.partial(jax.jit, static_argnames=("plen",))
+        def run(params, embs, *, plen):
+            # embs (1, plen, E) exact — no bucket padding: the suffix
+            # prefill's kv_offset mask treats every row < offset as valid,
+            # so padded zero-KV rows would be attended, not masked.
+            del plen
+            small = opt_mod.init_cache(cfg, 1, embs.shape[1],
+                                       dtype=kv_dtype)
+            out = opt_mod.forward(params, cfg, embs, cache=small,
+                                  cache_pos=0, unroll_layers=False,
+                                  skip_logits=True)
+            return {"k": out["cache"]["k"], "v": out["cache"]["v"]}
+
+        return run
+
+    @functools.cached_property
+    def _prefill_prefix_fn(self):
+        cfg, nt, img0 = self.cfg, self.nt, self.img0
+
+        @functools.partial(jax.jit, static_argnames=("pfx", "plen", "nreq"),
+                           donate_argnums=(1, 2))
+        def prefill(params, cache, state, tap_state, pk, pv, embs, true_len,
+                    slot_ids, nw, mw, scale, temp, topp, seed, *,
+                    pfx, plen, nreq):
+            # Suffix prefill at static offset pfx: embs (R, P, E) are the
+            # SUFFIX rows; pk/pv (L, 1, pfx, H, Dh) the shared prefix's
+            # cached KV, broadcast across the wave. models/opt.py's
+            # nonzero-int cache_pos path attends the suffix queries over
+            # [prefix rows | causal suffix]; true_len counts SUFFIX rows.
+            del plen, nreq
+            r = embs.shape[0]
+            small = opt_mod.init_cache(cfg, r, pfx + embs.shape[1],
+                                       dtype=cache["k"].dtype)
+            for key, rows in (("k", pk), ("v", pv)):
+                small[key] = small[key].at[:, :, :pfx].set(
+                    jnp.broadcast_to(
+                        rows.astype(small[key].dtype),
+                        (cfg.num_layers, r, pfx) + rows.shape[3:]))
+            out = opt_mod.forward(params, cfg, embs, cache=small,
+                                  cache_pos=pfx, unroll_layers=False,
+                                  skip_logits=True)
+            h_last = jnp.take_along_axis(
+                out["last_hidden"], true_len[:, None, None] - 1,
+                axis=1)[:, 0]                                  # (R, E)
+            head = params["embed_tokens"]["weight"]
+            logits0 = jax.lax.dot_general(
+                h_last, head.astype(h_last.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # sampling-key counter = absolute position (pfx + true_len),
+            # matching what a full-prompt prefill of the same request draws
+            first = self._pick(logits0, jnp.zeros_like(true_len), mw, scale,
+                               pfx + true_len, temp, topp, seed)
+            trigger = first == img0
+            force0 = jnp.where(trigger, nt - 1, 0).astype(jnp.int32)
+
+            new_cache = {}
+            for key in cache:
+                rows = out["cache"][key]          # (L, R, pfx+P, H, Dh)
+                new_cache[key] = cache[key].at[
+                    :, slot_ids, :rows.shape[2]].set(
+                    rows.astype(cache[key].dtype), mode="drop")
+            sid = slot_ids
+            state = {
+                "pos": state["pos"].at[sid].set(pfx + true_len, mode="drop"),
+                "tok": state["tok"].at[sid].set(first, mode="drop"),
+                "iter": state["iter"].at[sid].set(1, mode="drop"),
+                "force": state["force"].at[sid].set(force0, mode="drop"),
+                "valid": state["valid"].at[sid].set(True, mode="drop"),
+                "nw": state["nw"].at[sid].set(nw, mode="drop"),
+                "mw": state["mw"].at[sid].set(mw, mode="drop"),
+                "scale": state["scale"].at[sid].set(scale, mode="drop"),
+                "temp": state["temp"].at[sid].set(temp, mode="drop"),
+                "topp": state["topp"].at[sid].set(topp, mode="drop"),
+                "seed": state["seed"].at[sid].set(seed, mode="drop"),
+            }
+            zt = jnp.zeros((sid.shape[0],) + tap_state["tap"].shape[1:],
+                           tap_state["tap"].dtype)
+            tap_state = {
+                "tap": tap_state["tap"].at[sid].set(zt, mode="drop"),
+                "run": tap_state["run"].at[sid].set(
+                    jnp.full((sid.shape[0],), -1, jnp.int32), mode="drop"),
+            }
+            return new_cache, state, tap_state
+
+        return prefill
+
     @functools.cached_property
     def _chunk_fn(self):
         cfg, nt, img0 = self.cfg, self.nt, self.img0
@@ -392,6 +534,16 @@ class GillDecodeEngine:
         """Admission check (run BEFORE any request is scheduled, so a bad
         request cannot abort a batch mid-run). Returns the step budget."""
         plen = req.embs.shape[0]
+        if req.prefix_id is not None:
+            pfx = self._prefixes.get(req.prefix_id)
+            if pfx is None:
+                raise ValueError(f"request {req.uid}: unknown prefix_id "
+                                 f"{req.prefix_id}")
+            if plen < 1:
+                raise ValueError(
+                    f"request {req.uid}: prefixed requests must carry >= 1 "
+                    "suffix embedding row")
+            plen += pfx["n"]
         budget = req.num_words + (self.nt - 1) * req.max_img_runs
         if plen + budget + 1 > self.max_seq:
             raise ValueError(
@@ -417,8 +569,26 @@ class GillDecodeEngine:
             wave.append((s, req, self._validate(req)))
         if not wave:
             return
+        # One batched prefill launch per prefix group (requests without a
+        # prefix share one group) — same grouping rationale as the plain-LM
+        # engine: a shared prefix implies a shared workload, so mixed-prefix
+        # waves are rare.
+        groups: Dict[Optional[int], list] = {}
+        for ent in wave:
+            groups.setdefault(ent[1].prefix_id, []).append(ent)
+        for pid, grp in groups.items():
+            self._prefill_group(pid, grp)
+        for s, req, budget in wave:
+            self._state[s] = _GSlot(uid=req.uid, budget=budget)
+
+    def _prefill_group(self, pid: Optional[int], wave):
+        pfx = None if pid is None else self._prefixes[pid]
         pb = max(_bucket(req.embs.shape[0], self.buckets)
                  for _, req, _ in wave)
+        if pfx is not None and pfx["n"] + pb > self.max_seq:
+            raise ValueError(
+                f"prefix {pid} ({pfx['n']}) + suffix bucket {pb} exceeds "
+                f"max_seq {self.max_seq}; use a smaller suffix bucket")
         nreq = self._rbucket(len(wave))
         # Build the wave buffer directly in the device dtype: a float32
         # staging buffer cost ~280 ms/wave of HOST-side bf16 conversion on
@@ -446,16 +616,25 @@ class GillDecodeEngine:
             temp[i] = req.temperature
             topp[i] = req.top_p
             seed[i] = req.seed
-        self.cache, self._dstate, self._dtap = self._prefill_fn(
-            self.params, self.cache, self._dstate, self._dtap,
-            jnp.asarray(embs),
-            jnp.asarray(lens), jnp.asarray(slot_ids), jnp.asarray(nw),
-            jnp.asarray(mw), jnp.asarray(scale), jnp.asarray(temp),
-            jnp.asarray(topp), jnp.asarray(seed), plen=pb, nreq=nreq)
+        if pfx is None:
+            self.cache, self._dstate, self._dtap = self._prefill_fn(
+                self.params, self.cache, self._dstate, self._dtap,
+                jnp.asarray(embs),
+                jnp.asarray(lens), jnp.asarray(slot_ids), jnp.asarray(nw),
+                jnp.asarray(mw), jnp.asarray(scale), jnp.asarray(temp),
+                jnp.asarray(topp), jnp.asarray(seed), plen=pb, nreq=nreq)
+        else:
+            self.cache, self._dstate, self._dtap = self._prefill_prefix_fn(
+                self.params, self.cache, self._dstate, self._dtap,
+                pfx["k"], pfx["v"], jnp.asarray(embs),
+                jnp.asarray(lens), jnp.asarray(slot_ids), jnp.asarray(nw),
+                jnp.asarray(mw), jnp.asarray(scale), jnp.asarray(temp),
+                jnp.asarray(topp), jnp.asarray(seed),
+                pfx=pfx["n"], plen=pb, nreq=nreq)
+            self.stats["prefix_hits"] += len(wave)
+            self.stats["prefix_tokens_saved"] += pfx["n"] * len(wave)
         self.stats["prefills"] += 1
         self.stats["prefill_reqs"] += len(wave)
-        for s, req, budget in wave:
-            self._state[s] = _GSlot(uid=req.uid, budget=budget)
 
     def _collect_block(self, block, results):
         toks, valids, tap, snap = block

@@ -13,6 +13,13 @@ Endpoints:
                           {"prefix_id": id, "len": n} — subsequent
                           /v1/generate calls with that prefix_id skip the
                           shared tokens' prefill (prefix caching).
+  POST /v1/gill_prefix -> body {"prompts": [...]} (same format as
+                          /v1/gill, optional "max_num_rets"); registers a
+                          shared conversation prefix (system prompt +
+                          history, images included) with the GILL engine
+                          and returns {"prefix_id": id}. Subsequent
+                          /v1/gill calls pass that prefix_id with prompts
+                          holding only the NEW turn.
        non-stream: one JSON object {"tokens": [...], "text": "..."}.
        stream:     chunked NDJSON — one {"token": id, "text": piece} line
                    per generated token as it leaves the scheduler, then a
@@ -109,7 +116,7 @@ def make_server(online: Optional[OnlineEngine] = None, tokenizer=None,
             else:
                 self._json(404, {"error": f"no route {self.path}"})
 
-        def _do_gill(self, req):
+        def _gill_prompts(self, req):
             import base64
             import io
 
@@ -128,13 +135,19 @@ def make_server(online: Optional[OnlineEngine] = None, tokenizer=None,
                         "{'image_b64': ...} objects")
             if not prompts:
                 raise ValueError("need non-empty 'prompts'")
+            return prompts
+
+        def _do_gill(self, req):
+            prompts = self._gill_prompts(req)
             max_num_rets = int(req.get("max_num_rets", 1))
+            pid = req.get("prefix_id")
             handle = gill.generate_async(
                 prompts, num_words=int(req.get("num_words", 32)),
                 min_word_tokens=int(req.get("min_word_tokens", 0)),
                 ret_scale_factor=float(req.get("ret_scale_factor", 1.0)),
                 gen_scale_factor=float(req.get("gen_scale_factor", 1.0)),
-                max_num_rets=max_num_rets)
+                max_num_rets=max_num_rets,
+                prefix_id=None if pid is None else int(pid))
             outs = gill.finalize_async(
                 handle,
                 guidance_scale=float(req.get("guidance_scale", 7.5)),
@@ -158,8 +171,25 @@ def make_server(online: Optional[OnlineEngine] = None, tokenizer=None,
             raise ValueError("need 'prompt' (ids) or 'text'")
 
         def do_POST(self):
-            if self.path not in ("/v1/generate", "/v1/gill", "/v1/prefix"):
+            if self.path not in ("/v1/generate", "/v1/gill", "/v1/prefix",
+                                 "/v1/gill_prefix"):
                 self._json(404, {"error": f"no route {self.path}"})
+                return
+            if self.path == "/v1/gill_prefix":
+                if gill is None:
+                    self._json(404, {"error": "no GILL model mounted"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    prompts = self._gill_prompts(req)
+                    pid = gill.register_prefix_async(
+                        prompts,
+                        max_num_rets=int(req.get("max_num_rets", 1)))
+                    self._json(200, {"prefix_id": pid})
+                except (ValueError, KeyError, TypeError, OSError,
+                        RuntimeError, json.JSONDecodeError) as e:
+                    self._json(400, {"error": str(e)})
                 return
             if self.path == "/v1/prefix":
                 if online is None:

@@ -71,10 +71,11 @@ class RequestHandle:
 
 class _PrefixReg:
     """Prefix-registration ticket, processed by the scheduler thread (only
-    that thread may touch the engine/device)."""
+    that thread may touch the engine/device). payload: token ids for the
+    plain-LM engine, an (P, E) embedding array for the GILL engine."""
 
-    def __init__(self, tokens: List[int]):
-        self.tokens = tokens
+    def __init__(self, payload):
+        self.payload = payload
         self.pid: Optional[int] = None
         self.error: Optional[str] = None
         self.done = threading.Event()
@@ -249,7 +250,7 @@ class OnlineEngine(_ThreadedEngine):
                                if not isinstance(w, _PrefixReg)]
                     for rg in regs:
                         try:
-                            rg.pid = eng.register_prefix(rg.tokens)
+                            rg.pid = eng.register_prefix(rg.payload)
                         except Exception as e:  # noqa: BLE001 — fails the
                             # registering caller, not the scheduler
                             rg.error = f"{type(e).__name__}: {e}"
@@ -282,16 +283,45 @@ class GillOnlineEngine(_ThreadedEngine):
     def submit(self, prompt_embs, num_words: int, *,
                min_word_tokens: int = 0, img_scale: float = 1.0,
                temperature: float = 0.0, top_p: float = 1.0,
-               seed: int = 0, max_img_runs: int = 1) -> GillRequestHandle:
+               seed: int = 0, max_img_runs: int = 1,
+               prefix_id: Optional[int] = None) -> GillRequestHandle:
         from gill_tpu.serve.gill_engine import GillServeRequest
 
+        # with prefix_id set, prompt_embs carry only the suffix rows
+        # AFTER the registered prefix (gill_engine.register_prefix)
         req = GillServeRequest(
             uid=next(self._uid), embs=prompt_embs, num_words=num_words,
             min_word_tokens=min_word_tokens, img_scale=img_scale,
             temperature=temperature, top_p=top_p, seed=seed,
-            max_img_runs=max_img_runs)
+            max_img_runs=max_img_runs, prefix_id=prefix_id)
         self.eng._validate(req)      # admission: reject before scheduling
         return self._register(GillRequestHandle(req.uid, req))
+
+    def register_prefix(self, embs) -> int:
+        """Register a shared (P, E) embedding prefix
+        (GillDecodeEngine.register_prefix) via the scheduler thread — it
+        alone touches the engine/device. Blocks until the prefix KV is
+        cached; returns the id for submit(prefix_id=...)."""
+        import numpy as np
+
+        embs = np.asarray(embs)
+        if embs.ndim != 2 or embs.shape[1] != self.eng.emb_dim:
+            raise ValueError(f"prefix embs must be (P, {self.eng.emb_dim}),"
+                             f" got {embs.shape}")
+        if not 1 <= embs.shape[0] < self.eng.max_seq:
+            raise ValueError(f"prefix length {embs.shape[0]} must be in "
+                             f"[1, max_seq={self.eng.max_seq})")
+        reg = _PrefixReg(embs)
+        with self._lock:
+            if self._stop:
+                raise RuntimeError("engine closed")
+            self._q.put(reg)
+        while not reg.done.wait(0.2):
+            if not self._thread.is_alive():
+                raise RuntimeError("engine closed")
+        if reg.error:
+            raise RuntimeError(reg.error)
+        return reg.pid
 
     def _deliver(self, toks, valids, tap_dev):
         """Fold one chunk's rows into slot states; stream each request's
@@ -351,6 +381,17 @@ class GillOnlineEngine(_ThreadedEngine):
                 self._drain_queue(waiting, block=idle)
                 if self._stop:
                     break
+                regs = [w for w in waiting if isinstance(w, _PrefixReg)]
+                if regs:
+                    waiting = [w for w in waiting
+                               if not isinstance(w, _PrefixReg)]
+                    for rg in regs:
+                        try:
+                            rg.pid = eng.register_prefix(rg.payload)
+                        except Exception as e:  # noqa: BLE001 — fails the
+                            # registering caller, not the scheduler
+                            rg.error = f"{type(e).__name__}: {e}"
+                        rg.done.set()
                 if waiting:
                     reqs = [h.request for h in waiting]
                     eng._refill(reqs)

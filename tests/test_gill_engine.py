@@ -269,3 +269,71 @@ def test_gill_engine_rejects_oversized_request(core_params):
         eng.run([GillServeRequest(
             uid=0, embs=np.zeros((20, core.lm_dim), np.float32),
             num_words=20)])
+
+
+def test_gill_engine_prefix_caching_matches_full_prefill(core_params):
+    """Requests carrying a registered EMBEDDING prefix + suffix-only embs
+    must produce the tokens/taps of a full-prompt prefill — the cached
+    prefix KV + static-offset suffix prefill is a pure optimization."""
+    core, params = core_params
+    nt = NUM_TOKENS
+    rng = np.random.RandomState(21)
+    prefix = _mk_embs(rng, 11, core.lm_dim)
+    cases = []
+    for uid in range(6):
+        sfx = _mk_embs(rng, int(rng.randint(1, 9)), core.lm_dim)
+        nw = int(rng.randint(2, 8))
+        scale = 100.0 if uid % 2 == 0 else 1.0
+        cases.append((uid, sfx, nw, scale))
+
+    plain = GillDecodeEngine(core, params, slots=3, max_seq=64, chunk=3,
+                             prefill_buckets=(8, 32), unroll_layers=False,
+                             kv_dtype=jnp.float32)
+    full = plain.run([GillServeRequest(
+        uid=u, embs=np.concatenate([prefix, sfx]), num_words=nw,
+        img_scale=sc) for u, sfx, nw, sc in cases])
+
+    eng = GillDecodeEngine(core, params, slots=3, max_seq=64, chunk=3,
+                           prefill_buckets=(8, 32), unroll_layers=False,
+                           kv_dtype=jnp.float32)
+    pid = eng.register_prefix(prefix)
+    cached = eng.run([GillServeRequest(
+        uid=u, embs=sfx, num_words=nw, img_scale=sc, prefix_id=pid)
+        for u, sfx, nw, sc in cases])
+
+    assert set(cached) == set(full)
+    any_img = False
+    for u in full:
+        assert cached[u]["tokens"] == full[u]["tokens"], f"uid {u}"
+        np.testing.assert_allclose(cached[u]["img_hidden"],
+                                   full[u]["img_hidden"], atol=2e-4,
+                                   err_msg=f"uid {u}")
+        if _first_run(full[u]["tokens"], nt) is not None:
+            any_img = True
+    assert any_img, "test must exercise at least one [IMG] run"
+    assert eng.stats["prefix_hits"] == len(cases)
+    assert eng.stats["prefix_tokens_saved"] == 11 * len(cases)
+
+
+def test_gill_engine_prefix_validation(core_params):
+    core, params = core_params
+    eng = GillDecodeEngine(core, params, slots=2, max_seq=32, chunk=2,
+                           prefill_buckets=(8,), unroll_layers=False,
+                           kv_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="prefix embs must be"):
+        eng.register_prefix(np.zeros((4,), np.float32))
+    with pytest.raises(ValueError, match="prefix length"):
+        eng.register_prefix(np.zeros((40, core.lm_dim), np.float32))
+    pid = eng.register_prefix(np.zeros((6, core.lm_dim), np.float32))
+    sfx = np.zeros((2, core.lm_dim), np.float32)
+    with pytest.raises(ValueError, match="unknown prefix_id"):
+        eng.run([GillServeRequest(uid=0, embs=sfx, num_words=2,
+                                  prefix_id=pid + 1)])
+    with pytest.raises(ValueError, match="suffix embedding row"):
+        eng.run([GillServeRequest(uid=0, embs=sfx[:0], num_words=2,
+                                  prefix_id=pid)])
+    # prefix counts against max_seq: 6 + 20 + budget exceeds 32
+    with pytest.raises(ValueError, match="exceeds max_seq"):
+        eng.run([GillServeRequest(
+            uid=0, embs=np.zeros((20, core.lm_dim), np.float32),
+            num_words=8, prefix_id=pid)])

@@ -207,3 +207,78 @@ def test_http_gill_route_end_to_end():
         srv.shutdown()
         for online in getattr(model, "_online_engines", {}).values():
             online.close()
+
+
+def test_gill_online_prefix_caching_matches(core_params):
+    """register_prefix rides the scheduler thread; suffix-only prefixed
+    submissions produce the full-prompt tokens/taps and record hits."""
+    core, params = core_params
+    rng = np.random.RandomState(7)
+    prefix = rng.randn(9, core.lm_dim).astype(np.float32) * 0.02
+    suffixes = [rng.randn(int(rng.randint(1, 7)),
+                          core.lm_dim).astype(np.float32) * 0.02
+                for _ in range(4)]
+    batch = _engine(core, params).run(
+        [GillServeRequest(uid=i, embs=np.concatenate([prefix, sfx]),
+                          num_words=5, img_scale=100.0)
+         for i, sfx in enumerate(suffixes)])
+
+    online = GillOnlineEngine(_engine(core, params))
+    try:
+        pid = online.register_prefix(prefix)
+        # admission-time validation fails the caller, not the scheduler
+        with pytest.raises(ValueError, match="unknown prefix_id"):
+            online.submit(suffixes[0], 2, prefix_id=pid + 1)
+        with pytest.raises(ValueError, match="prefix embs must be"):
+            online.register_prefix(np.zeros((3,), np.float32))
+        handles = [online.submit(sfx, 5, img_scale=100.0, prefix_id=pid)
+                   for sfx in suffixes]
+        for i, h in enumerate(handles):
+            assert h.result(timeout=120) == batch[i]["tokens"], f"req {i}"
+            np.testing.assert_allclose(h.img_hidden,
+                                       batch[i]["img_hidden"], atol=2e-4)
+        assert online.eng.stats["prefix_hits"] == len(suffixes)
+    finally:
+        online.close()
+
+
+def test_http_gill_prefix_route():
+    """/v1/gill_prefix registers a conversation prefix; /v1/gill calls
+    with that prefix_id + suffix-only prompts reproduce the full-prompt
+    caption (chat sessions do not resend history)."""
+    from gill_tpu.serve.http import make_server
+
+    model = _tiny_gill()
+    srv = make_server(gill=model, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, body):
+        rq = urllib.request.Request(
+            f"{base}{path}", data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(rq, timeout=600) as r:
+            return json.loads(r.read())
+
+    try:
+        history = ["You are a helpful assistant.\nQ: hi\nA: hello\n"]
+        turn = ["Q: describe a dog\nA:"]
+        full = post("/v1/gill", {"prompts": history + turn, "num_words": 4,
+                                 "num_inference_steps": 2})["outputs"]
+
+        pid = post("/v1/gill_prefix", {"prompts": history})["prefix_id"]
+        cached = post("/v1/gill", {"prompts": turn, "num_words": 4,
+                                   "num_inference_steps": 2,
+                                   "prefix_id": pid})["outputs"]
+        assert cached[0] == full[0], (cached[0], full[0])
+        eng = next(iter(model._online_engines.values())).eng
+        assert eng.stats["prefix_hits"] == 1
+
+        # unknown prefix -> 400, not a scheduler crash
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post("/v1/gill", {"prompts": turn, "num_words": 4,
+                              "prefix_id": pid + 7})
+        assert e.value.code == 400
+    finally:
+        srv.shutdown()

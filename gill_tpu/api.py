@@ -525,6 +525,34 @@ class GILL:
         return online.register_prefix(
             np.asarray(jnp.asarray(embs[0], emb_dt)))
 
+    def extend_prefix_async(self, prefix_id: int, prompts: List, *,
+                            slots: int = 4, chunk: int = 8,
+                            max_seq: int = 512, sampling: bool = False,
+                            max_num_rets: int = 1) -> int:
+        """Grow a registered conversation prefix by one turn's prompts
+        (e.g. the user turn + the model's generated reply as a string):
+        only the NEW rows are prefilled — incremental chat never
+        re-prefills its history. Returns the new prefix id (the parent
+        stays registered; drop_prefix_async frees it)."""
+        embs, _ = self._encode_prompts(prompts, add_bos=False)
+        online = self.get_online_engine(slots=slots, chunk=chunk,
+                                        max_seq=max_seq, sampling=sampling,
+                                        max_img_runs=max_num_rets)
+        emb_dt = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                  else jnp.float32)
+        return online.extend_prefix(
+            prefix_id, np.asarray(jnp.asarray(embs[0], emb_dt)))
+
+    def drop_prefix_async(self, prefix_id: int, *, slots: int = 4,
+                          chunk: int = 8, max_seq: int = 512,
+                          sampling: bool = False,
+                          max_num_rets: int = 1) -> None:
+        """Free a registered prefix's cached KV on the online engine."""
+        online = self.get_online_engine(slots=slots, chunk=chunk,
+                                        max_seq=max_seq, sampling=sampling,
+                                        max_img_runs=max_num_rets)
+        online.drop_prefix(prefix_id)
+
     def finalize_async(self, handle, generator=None,
                        guidance_scale: float = 7.5,
                        num_inference_steps: int = 50,

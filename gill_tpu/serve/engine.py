@@ -272,6 +272,63 @@ class DecodeEngine:
         self._prefixes[pid] = {"tokens": tokens, "k": kv["k"], "v": kv["v"]}
         return pid
 
+    def extend_prefix(self, prefix_id: int, tokens: List[int]) -> int:
+        """Extend a registered prefix by `tokens`, prefilling ONLY the new
+        tokens at the parent's offset (the parent's cached KV rows are
+        attended, not recomputed) — an incremental chat session therefore
+        never re-prefills its history. Returns a NEW prefix id for
+        [parent tokens | tokens]; the parent stays registered
+        (drop_prefix frees it)."""
+        parent = self._prefixes.get(prefix_id)
+        if parent is None:
+            raise ValueError(f"unknown prefix_id {prefix_id}")
+        tokens = [int(t) for t in tokens]
+        n = len(parent["tokens"])
+        if not tokens or n + len(tokens) >= self.max_seq:
+            raise ValueError(
+                f"extension length {len(tokens)} must be >= 1 and keep the "
+                f"prefix under max_seq ({n} + {len(tokens)} vs "
+                f"{self.max_seq})")
+        with self._ctx():
+            kv = self._prefix_extend_fn(
+                self.params, parent["k"], parent["v"],
+                jnp.asarray([tokens], jnp.int32), pfx=n, plen=len(tokens))
+            jax.block_until_ready(kv["k"])
+        pid = self._next_prefix_id
+        self._next_prefix_id += 1
+        self._prefixes[pid] = {"tokens": parent["tokens"] + tokens,
+                               "k": kv["k"], "v": kv["v"]}
+        return pid
+
+    def drop_prefix(self, prefix_id: int) -> None:
+        """Free a registered prefix's cached KV. Later requests referencing
+        the id fail admission with "unknown prefix_id"."""
+        if self._prefixes.pop(prefix_id, None) is None:
+            raise ValueError(f"unknown prefix_id {prefix_id}")
+
+    @functools.cached_property
+    def _prefix_extend_fn(self):
+        cfg = self.cfg
+        kv_dtype = self.cache["k"].dtype
+
+        @functools.partial(jax.jit, static_argnames=("pfx", "plen"))
+        def run(params, pk, pv, tokens, *, pfx, plen):
+            # tokens (1, plen) exact; pk/pv (L, 1, pfx, H, Dh) the parent's
+            # cached KV. Returns the concatenated (L, 1, pfx+plen, H, Dh).
+            del plen
+            emb = opt_mod.embed_tokens(params, tokens)
+            small = opt_mod.init_cache(cfg, 1, pfx + tokens.shape[1],
+                                       dtype=kv_dtype)
+            for key, rows in (("k", pk), ("v", pv)):
+                small[key] = small[key].at[:, :, :pfx].set(
+                    rows.astype(small[key].dtype))
+            out = opt_mod.forward(params, cfg, emb, cache=small,
+                                  cache_pos=pfx, unroll_layers=False,
+                                  skip_logits=True)
+            return {"k": out["cache"]["k"], "v": out["cache"]["v"]}
+
+        return run
+
     @functools.cached_property
     def _prefix_kv_fn(self):
         cfg = self.cfg

@@ -354,6 +354,68 @@ class GillDecodeEngine:
                                "k": kv["k"], "v": kv["v"]}
         return pid
 
+    def extend_prefix(self, prefix_id: int, embs) -> int:
+        """Extend a registered embedding prefix by `embs` rows, prefilling
+        ONLY the new rows at the parent's offset — an incremental chat
+        session (turn prompt + generated reply re-embedded each round)
+        never re-prefills its history. Returns a NEW prefix id for
+        [parent rows | embs]; the parent stays registered (drop_prefix
+        frees it)."""
+        parent = self._prefixes.get(prefix_id)
+        if parent is None:
+            raise ValueError(f"unknown prefix_id {prefix_id}")
+        embs = np.asarray(embs)
+        if embs.ndim != 2 or embs.shape[1] != self.emb_dim:
+            raise ValueError(f"extension embs must be (P, {self.emb_dim}), "
+                             f"got {embs.shape}")
+        n = parent["n"]
+        if not (1 <= embs.shape[0] and n + embs.shape[0] < self.max_seq):
+            raise ValueError(
+                f"extension length {embs.shape[0]} must be >= 1 and keep "
+                f"the prefix under max_seq ({n} + {embs.shape[0]} vs "
+                f"{self.max_seq})")
+        tgt = self.cache["k"].dtype
+        if tgt == jnp.int8:
+            tgt = jnp.bfloat16
+        with self._ctx():
+            kv = self._prefix_extend_fn(
+                self.params, parent["k"], parent["v"],
+                jnp.asarray(embs, tgt)[None], pfx=n, plen=embs.shape[0])
+            jax.block_until_ready(kv["k"])
+        pid = self._next_prefix_id
+        self._next_prefix_id += 1
+        self._prefixes[pid] = {"n": n + int(embs.shape[0]),
+                               "k": kv["k"], "v": kv["v"]}
+        return pid
+
+    def drop_prefix(self, prefix_id: int) -> None:
+        """Free a registered prefix's cached KV. Later requests referencing
+        the id fail admission with "unknown prefix_id"."""
+        if self._prefixes.pop(prefix_id, None) is None:
+            raise ValueError(f"unknown prefix_id {prefix_id}")
+
+    @functools.cached_property
+    def _prefix_extend_fn(self):
+        cfg = self.cfg
+        kv_dtype = self.cache["k"].dtype
+
+        @functools.partial(jax.jit, static_argnames=("pfx", "plen"))
+        def run(params, pk, pv, embs, *, pfx, plen):
+            # embs (1, plen, E) exact; pk/pv (L, 1, pfx, H, Dh) the
+            # parent's cached KV; returns (L, 1, pfx+plen, H, Dh).
+            del plen
+            small = opt_mod.init_cache(cfg, 1, pfx + embs.shape[1],
+                                       dtype=kv_dtype)
+            for key, rows in (("k", pk), ("v", pv)):
+                small[key] = small[key].at[:, :, :pfx].set(
+                    rows.astype(small[key].dtype))
+            out = opt_mod.forward(params, cfg, embs, cache=small,
+                                  cache_pos=pfx, unroll_layers=False,
+                                  skip_logits=True)
+            return {"k": out["cache"]["k"], "v": out["cache"]["v"]}
+
+        return run
+
     @functools.cached_property
     def _prefix_kv_fn(self):
         cfg = self.cfg

@@ -13,13 +13,20 @@ Endpoints:
                           {"prefix_id": id, "len": n} — subsequent
                           /v1/generate calls with that prefix_id skip the
                           shared tokens' prefill (prefix caching).
+                          {"extend": pid, "prompt"/"text": ...} grows a
+                          registered prefix by only prefilling the new
+                          tokens (returns a NEW id; "len" = extension);
+                          {"drop": pid} frees one.
   POST /v1/gill_prefix -> body {"prompts": [...]} (same format as
                           /v1/gill, optional "max_num_rets"); registers a
                           shared conversation prefix (system prompt +
                           history, images included) with the GILL engine
                           and returns {"prefix_id": id}. Subsequent
                           /v1/gill calls pass that prefix_id with prompts
-                          holding only the NEW turn.
+                          holding only the NEW turn. {"extend": pid,
+                          "prompts": [...]} grows a prefix by one turn
+                          (prompt + generated reply text) without
+                          re-prefilling history; {"drop": pid} frees one.
        non-stream: one JSON object {"tokens": [...], "text": "..."}.
        stream:     chunked NDJSON — one {"token": id, "text": piece} line
                    per generated token as it leaves the scheduler, then a
@@ -182,10 +189,19 @@ def make_server(online: Optional[OnlineEngine] = None, tokenizer=None,
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
+                    rets = int(req.get("max_num_rets", 1))
+                    if "drop" in req:
+                        gill.drop_prefix_async(int(req["drop"]),
+                                               max_num_rets=rets)
+                        self._json(200, {"ok": True})
+                        return
                     prompts = self._gill_prompts(req)
-                    pid = gill.register_prefix_async(
-                        prompts,
-                        max_num_rets=int(req.get("max_num_rets", 1)))
+                    if "extend" in req:
+                        pid = gill.extend_prefix_async(
+                            int(req["extend"]), prompts, max_num_rets=rets)
+                    else:
+                        pid = gill.register_prefix_async(
+                            prompts, max_num_rets=rets)
                     self._json(200, {"prefix_id": pid})
                 except (ValueError, KeyError, TypeError, OSError,
                         RuntimeError, json.JSONDecodeError) as e:
@@ -198,8 +214,16 @@ def make_server(online: Optional[OnlineEngine] = None, tokenizer=None,
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
+                    if "drop" in req:
+                        online.drop_prefix(int(req["drop"]))
+                        self._json(200, {"ok": True})
+                        return
                     ids = self._prompt_ids(req)
-                    pid = online.register_prefix(ids)
+                    if "extend" in req:
+                        # "len" is the EXTENSION length here, not the total
+                        pid = online.extend_prefix(int(req["extend"]), ids)
+                    else:
+                        pid = online.register_prefix(ids)
                     self._json(200, {"prefix_id": pid, "len": len(ids)})
                 except (ValueError, KeyError, TypeError, RuntimeError,
                         json.JSONDecodeError) as e:

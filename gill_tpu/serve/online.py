@@ -72,10 +72,12 @@ class RequestHandle:
 class _PrefixReg:
     """Prefix-registration ticket, processed by the scheduler thread (only
     that thread may touch the engine/device). payload: token ids for the
-    plain-LM engine, an (P, E) embedding array for the GILL engine."""
+    plain-LM engine, an (P, E) embedding array for the GILL engine.
+    parent: an existing prefix id to EXTEND instead of registering anew."""
 
-    def __init__(self, payload):
+    def __init__(self, payload, parent: Optional[int] = None):
         self.payload = payload
+        self.parent = parent
         self.pid: Optional[int] = None
         self.error: Optional[str] = None
         self.done = threading.Event()
@@ -117,6 +119,31 @@ class _ThreadedEngine:
             self._handles[handle.uid] = handle
             self._q.put(handle)
         return handle
+
+    def _submit_reg(self, reg: _PrefixReg) -> int:
+        """Queue a prefix registration/extension ticket and block until
+        the scheduler thread (the only engine/device owner) processes it."""
+        with self._lock:
+            if self._stop:
+                raise RuntimeError("engine closed")
+            self._q.put(reg)
+        while not reg.done.wait(0.2):
+            if not self._thread.is_alive():
+                raise RuntimeError("engine closed")
+        if reg.error:
+            raise RuntimeError(reg.error)
+        return reg.pid
+
+    def extend_prefix(self, prefix_id: int, payload) -> int:
+        """Extend a registered prefix (engine extend_prefix) via the
+        scheduler thread; returns the NEW prefix id."""
+        return self._submit_reg(_PrefixReg(payload, parent=prefix_id))
+
+    def drop_prefix(self, prefix_id: int) -> None:
+        """Free a registered prefix's cached KV. Safe from any thread (a
+        host-dict pop); queued requests still referencing the id fail
+        admission with "unknown prefix_id"."""
+        self.eng.drop_prefix(prefix_id)
 
     def close(self):
         with self._lock:
@@ -196,17 +223,7 @@ class OnlineEngine(_ThreadedEngine):
         if not 1 <= len(tokens) < self.eng.max_seq:
             raise ValueError(f"prefix length {len(tokens)} must be in "
                              f"[1, max_seq={self.eng.max_seq})")
-        reg = _PrefixReg([int(t) for t in tokens])
-        with self._lock:
-            if self._stop:
-                raise RuntimeError("engine closed")
-            self._q.put(reg)
-        while not reg.done.wait(0.2):
-            if not self._thread.is_alive():
-                raise RuntimeError("engine closed")
-        if reg.error:
-            raise RuntimeError(reg.error)
-        return reg.pid
+        return self._submit_reg(_PrefixReg([int(t) for t in tokens]))
 
     def _deliver(self):
         """Push engine-side progress out to the handles (called after each
@@ -250,7 +267,10 @@ class OnlineEngine(_ThreadedEngine):
                                if not isinstance(w, _PrefixReg)]
                     for rg in regs:
                         try:
-                            rg.pid = eng.register_prefix(rg.payload)
+                            rg.pid = (
+                                eng.register_prefix(rg.payload)
+                                if rg.parent is None else
+                                eng.extend_prefix(rg.parent, rg.payload))
                         except Exception as e:  # noqa: BLE001 — fails the
                             # registering caller, not the scheduler
                             rg.error = f"{type(e).__name__}: {e}"
@@ -311,17 +331,7 @@ class GillOnlineEngine(_ThreadedEngine):
         if not 1 <= embs.shape[0] < self.eng.max_seq:
             raise ValueError(f"prefix length {embs.shape[0]} must be in "
                              f"[1, max_seq={self.eng.max_seq})")
-        reg = _PrefixReg(embs)
-        with self._lock:
-            if self._stop:
-                raise RuntimeError("engine closed")
-            self._q.put(reg)
-        while not reg.done.wait(0.2):
-            if not self._thread.is_alive():
-                raise RuntimeError("engine closed")
-        if reg.error:
-            raise RuntimeError(reg.error)
-        return reg.pid
+        return self._submit_reg(_PrefixReg(embs))
 
     def _deliver(self, toks, valids, tap_dev):
         """Fold one chunk's rows into slot states; stream each request's
@@ -387,7 +397,10 @@ class GillOnlineEngine(_ThreadedEngine):
                                if not isinstance(w, _PrefixReg)]
                     for rg in regs:
                         try:
-                            rg.pid = eng.register_prefix(rg.payload)
+                            rg.pid = (
+                                eng.register_prefix(rg.payload)
+                                if rg.parent is None else
+                                eng.extend_prefix(rg.parent, rg.payload))
                         except Exception as e:  # noqa: BLE001 — fails the
                             # registering caller, not the scheduler
                             rg.error = f"{type(e).__name__}: {e}"

@@ -313,3 +313,41 @@ def test_engine_pipelined_eos_aware_refill(tiny):
     # costs the sync count plus at most the depth-2 collection lag
     assert piped_chunks <= sync_chunks + 2 * len(reqs), \
         (piped_chunks, sync_chunks)
+
+
+def test_engine_extend_prefix_matches_fresh_registration(tiny):
+    """extend_prefix prefills only the new tokens at the parent's offset;
+    the result must be indistinguishable from registering the full
+    concatenation, and dropped prefixes must fail admission."""
+    params, cfg = tiny
+    rng = np.random.RandomState(17)
+    base = rng.randint(2, 120, size=7).tolist()
+    turn = rng.randint(2, 120, size=5).tolist()
+    sfx = rng.randint(2, 120, size=3).tolist()
+
+    eng = DecodeEngine(params, cfg, slots=2, max_seq=64, chunk=4,
+                       prefill_buckets=(8, 32), unroll_layers=False,
+                       kv_dtype=jnp.float32)
+    pid_full = eng.register_prefix(base + turn)
+    want = eng.run([ServeRequest(uid=0, prompt=base + turn + sfx,
+                                 max_new_tokens=6, prefix_id=pid_full)])
+
+    pid0 = eng.register_prefix(base)
+    pid1 = eng.extend_prefix(pid0, turn)
+    got = eng.run([ServeRequest(uid=0, prompt=base + turn + sfx,
+                                max_new_tokens=6, prefix_id=pid1)])
+    assert got == want
+
+    # the parent stays registered until dropped
+    eng.run([ServeRequest(uid=1, prompt=base + [9], max_new_tokens=2,
+                          prefix_id=pid0)])
+    eng.drop_prefix(pid0)
+    with pytest.raises(ValueError, match="unknown prefix_id"):
+        eng.run([ServeRequest(uid=2, prompt=base + [9], max_new_tokens=2,
+                              prefix_id=pid0)])
+    with pytest.raises(ValueError, match="unknown prefix_id"):
+        eng.extend_prefix(pid0, [5])
+    with pytest.raises(ValueError, match="unknown prefix_id"):
+        eng.drop_prefix(pid0)
+    with pytest.raises(ValueError, match="extension length"):
+        eng.extend_prefix(pid1, [])

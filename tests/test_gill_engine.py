@@ -337,3 +337,35 @@ def test_gill_engine_prefix_validation(core_params):
         eng.run([GillServeRequest(
             uid=0, embs=np.zeros((20, core.lm_dim), np.float32),
             num_words=8, prefix_id=pid)])
+
+
+def test_gill_engine_extend_prefix_matches_fresh_registration(core_params):
+    """Embedding-level extend_prefix: an incremental chat session
+    (register turn 1, extend with turn 2) must match registering the
+    full history at once."""
+    core, params = core_params
+    rng = np.random.RandomState(33)
+    base = _mk_embs(rng, 7, core.lm_dim)
+    turn = _mk_embs(rng, 5, core.lm_dim)
+    sfx = _mk_embs(rng, 3, core.lm_dim)
+
+    eng = GillDecodeEngine(core, params, slots=2, max_seq=64, chunk=3,
+                           prefill_buckets=(8, 16), unroll_layers=False,
+                           kv_dtype=jnp.float32)
+    pid_full = eng.register_prefix(np.concatenate([base, turn]))
+    want = eng.run([GillServeRequest(uid=0, embs=sfx, num_words=5,
+                                     img_scale=100.0, prefix_id=pid_full)])
+
+    pid0 = eng.register_prefix(base)
+    pid1 = eng.extend_prefix(pid0, turn)
+    got = eng.run([GillServeRequest(uid=0, embs=sfx, num_words=5,
+                                    img_scale=100.0, prefix_id=pid1)])
+    assert got[0]["tokens"] == want[0]["tokens"]
+    np.testing.assert_allclose(got[0]["img_hidden"], want[0]["img_hidden"],
+                               atol=2e-4)
+
+    eng.drop_prefix(pid0)
+    with pytest.raises(ValueError, match="unknown prefix_id"):
+        eng.extend_prefix(pid0, turn)
+    with pytest.raises(ValueError, match="extension embs must be"):
+        eng.extend_prefix(pid1, np.zeros((3,), np.float32))

@@ -282,3 +282,47 @@ def test_http_gill_prefix_route():
         assert e.value.code == 400
     finally:
         srv.shutdown()
+
+
+def test_http_gill_prefix_extend_incremental_chat():
+    """Incremental chat over HTTP: register turn-1 history, extend with
+    the turn-2 exchange (user prompt + generated reply text), and the
+    turn-3 decode matches a fresh registration of the full history."""
+    from gill_tpu.serve.http import make_server
+
+    model = _tiny_gill()
+    srv = make_server(gill=model, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, body):
+        rq = urllib.request.Request(
+            f"{base}{path}", data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(rq, timeout=600) as r:
+            return json.loads(r.read())
+
+    try:
+        h1 = ["Q: one\nA: yes\n"]
+        h2 = ["Q: two\nA: maybe\n"]
+        turn = ["Q: three\nA:"]
+        pid_full = post("/v1/gill_prefix", {"prompts": h1 + h2})["prefix_id"]
+        want = post("/v1/gill", {"prompts": turn, "num_words": 4,
+                                 "num_inference_steps": 2,
+                                 "prefix_id": pid_full})["outputs"]
+
+        pid0 = post("/v1/gill_prefix", {"prompts": h1})["prefix_id"]
+        pid1 = post("/v1/gill_prefix", {"extend": pid0,
+                                        "prompts": h2})["prefix_id"]
+        got = post("/v1/gill", {"prompts": turn, "num_words": 4,
+                                "num_inference_steps": 2,
+                                "prefix_id": pid1})["outputs"]
+        assert got[0] == want[0], (got[0], want[0])
+
+        assert post("/v1/gill_prefix", {"drop": pid0}) == {"ok": True}
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post("/v1/gill_prefix", {"extend": pid0, "prompts": h2})
+        assert e.value.code == 400
+    finally:
+        srv.shutdown()

@@ -227,3 +227,52 @@ def test_http_prefix_route(tiny):
     finally:
         srv.shutdown()
         online.close()
+
+
+def test_http_prefix_extend_and_drop(tiny):
+    """/v1/prefix {"extend": pid} grows a prefix by prefilling only the
+    new tokens; {"drop": pid} frees it and later references 400."""
+    rng = np.random.RandomState(8)
+    base = rng.randint(2, 120, size=6).tolist()
+    turn = rng.randint(2, 120, size=4).tolist()
+    sfx = rng.randint(2, 120, size=3).tolist()
+    want = _engine(tiny).run(
+        [ServeRequest(uid=0, prompt=base + turn + sfx, max_new_tokens=5)])
+
+    online = OnlineEngine(_engine(tiny))
+    srv = make_server(online, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    addr = f"http://127.0.0.1:{port}"
+
+    def post(body):
+        rq = urllib.request.Request(
+            f"{addr}/v1/prefix", data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(rq, timeout=120) as r:
+            return json.loads(r.read())
+
+    try:
+        pid0 = post({"prompt": base})["prefix_id"]
+        ext = post({"extend": pid0, "prompt": turn})
+        assert ext["len"] == len(turn)
+        pid1 = ext["prefix_id"]
+        rq = urllib.request.Request(
+            f"{addr}/v1/generate",
+            data=json.dumps({"prompt": base + turn + sfx,
+                             "max_new_tokens": 5,
+                             "prefix_id": pid1}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(rq, timeout=120) as r:
+            assert json.loads(r.read())["tokens"] == want[0]
+
+        assert post({"drop": pid0}) == {"ok": True}
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post({"extend": pid0, "prompt": turn})
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post({"drop": pid0})
+        assert e.value.code == 400
+    finally:
+        srv.shutdown()
+        online.close()

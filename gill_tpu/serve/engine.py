@@ -278,7 +278,12 @@ class DecodeEngine:
         attended, not recomputed) — an incremental chat session therefore
         never re-prefills its history. Returns a NEW prefix id for
         [parent tokens | tokens]; the parent stays registered
-        (drop_prefix frees it)."""
+        (drop_prefix frees it).
+
+        Compile note: extension/suffix programs are specialized on the
+        prefix length (static offset), so each DISTINCT history length
+        compiles once. Rolling sessions should quantize their turn sizes
+        (e.g. pad turns to 16/32/64 tokens) to bound the variant set."""
         parent = self._prefixes.get(prefix_id)
         if parent is None:
             raise ValueError(f"unknown prefix_id {prefix_id}")

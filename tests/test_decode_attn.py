@@ -136,3 +136,54 @@ def test_supported_predicate():
     # bucket not divisible by any block
     k3 = jnp.zeros((2, 96, 4, 128), jnp.bfloat16)
     assert not decode_attn.supported(q, k3, lens, None)
+
+
+def test_decode_step_logits_through_kernel(monkeypatch):
+    """Dispatch plumbing from the serving engines: a (B,) cache_pos vector
+    flows through models/opt.py's deferred-write decode as kv_offset, the
+    dispatcher turns it into the kernel's per-row lengths, and the decode
+    step's logits match the XLA full-read path. One step with tolerance —
+    greedy TOKEN equality across the two fp32 reduction orders is the TPU
+    probe's job (scripts/profile_serve_prefix_decode.py: 24/24 requests
+    identical on chip); exact-token CPU comparison is tie-flaky."""
+    from gill_tpu.config import OPTConfig
+    from gill_tpu.models import opt as opt_mod
+    from gill_tpu.ops import attention as attn_mod
+
+    cfg = OPTConfig(num_layers=2, hidden_size=256, ffn_dim=512, num_heads=2,
+                    vocab_size=128, max_positions=256,
+                    word_embed_proj_dim=256)
+    params = opt_mod.init(jax.random.PRNGKey(5), cfg)
+    b, s = 3, 64
+    cache = opt_mod.init_cache(cfg, b, s, dtype=jnp.float32)
+    rng = np.random.RandomState(4)
+    # engine state mid-decode: mixed per-slot offsets incl. a parked slot
+    cache = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(rng.randn(*x.shape).astype(np.float32) * 0.1),
+        cache)
+    pos = jnp.asarray([13, 0, s - 1], jnp.int32)
+    emb = opt_mod.embed_tokens(params, jnp.asarray([[7], [9], [11]],
+                                                   jnp.int32))
+
+    def step():
+        out = opt_mod.forward(params, cfg, emb, cache=cache, cache_pos=pos)
+        return np.asarray(out["logits"][:, -1])
+
+    base = step()
+
+    calls = {"n": 0}
+    real = decode_attn.prefix_decode_attention
+
+    def interp(*args, **kw):
+        calls["n"] += 1
+        kw["interpret"] = True
+        return real(*args, **kw)
+
+    monkeypatch.setattr(attn_mod, "PREFIX_DECODE_MIN", 64)
+    monkeypatch.setattr(attn_mod, "_on_tpu", lambda: True)
+    monkeypatch.setattr(decode_attn, "prefix_decode_attention", interp)
+    gated = step()
+
+    # the layer scan traces attention ONCE for all stacked layers
+    assert calls["n"] >= 1, "kernel path not taken"
+    np.testing.assert_allclose(gated, base, atol=1e-4, rtol=1e-4)

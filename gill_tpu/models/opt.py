@@ -185,9 +185,16 @@ def embed_tokens(params, ids):
     return params["embed_tokens"]["weight"][ids]
 
 
-def _layer(cfg: OPTConfig, lp, h, kv_offset=None, cache_kv=None, cache_pos=None):
+def _layer(cfg: OPTConfig, lp, h, kv_offset=None, cache_kv=None, cache_pos=None,
+           kv_read_limit: Optional[int] = None):
     """One decoder layer. Returns (h, (k, v)) where k/v are this layer's new
-    key/value tensors (full seq when cache_kv is None, else updated cache)."""
+    key/value tensors (full seq when cache_kv is None, else updated cache).
+
+    kv_read_limit: static row count — the deferred decode path reads only
+    cache rows [0, kv_read_limit) (the caller guarantees every slot's
+    cache_pos <= kv_read_limit). The serving engine compiles one chunk
+    variant per limit bucket so decode KV traffic tracks the actual
+    context depth instead of the provisioned max_seq."""
     b, t, d = h.shape
     hd = cfg.head_dim
     pre_ln = cfg.do_layer_norm_before
@@ -210,7 +217,19 @@ def _layer(cfg: OPTConfig, lp, h, kv_offset=None, cache_kv=None, cache_pos=None)
             # made XLA materialize two full-cache copies per decode step
             # (3.3 ms/step at opt-2.7b batch 16).
             scales = (cache_kv[2], cache_kv[3]) if kv8 else None
-            attn = dot_product_attention(q, ck, cv, causal=True,
+            rck, rcv = ck, cv
+            if kv_read_limit is not None and kv_read_limit < ck.shape[1]:
+                # Static read window: attention touches only the rows that
+                # can hold valid keys. The deferred write below still
+                # targets the full cache, so this changes HBM read traffic
+                # only (the masked output is bitwise identical as long as
+                # all cache_pos <= kv_read_limit).
+                rck = ck[:, :kv_read_limit]
+                rcv = cv[:, :kv_read_limit]
+                if scales is not None:
+                    scales = (scales[0][:, :kv_read_limit],
+                              scales[1][:, :kv_read_limit])
+            attn = dot_product_attention(q, rck, rcv, causal=True,
                                          kv_offset=cache_pos - 1,
                                          extra_kv=(k, v), kv_scales=scales)
             if kv8:
@@ -296,7 +315,7 @@ def _layer_view(layers, i: int):
 def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
             collect_hidden: bool = False, cache=None, cache_pos=None,
             remat: bool = False, lm_head=None, unroll_layers: bool = False,
-            skip_logits: bool = False):
+            skip_logits: bool = False, kv_read_limit: Optional[int] = None):
     """Decoder forward from input embeddings.
 
     Args:
@@ -308,6 +327,8 @@ def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
         when given, inputs are written at cache_pos and attention spans the
         cache prefix.
       remat: rematerialize each layer (training memory saver).
+      kv_read_limit: static cache-row read window for the deferred decode
+        path (see _layer) — requires all cache_pos <= kv_read_limit.
 
     Returns dict with "logits" (B, T, vocab) fp32, "last_hidden" (B, T, E),
     optionally "hidden_states", and "cache" (updated) if cache was passed.
@@ -379,7 +400,8 @@ def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
                 lp = _layer_view(params["layers"], i)
                 h, nkv = _layer(cfg, lp, h,
                                 cache_kv=tuple(cache[k][i] for k in ckeys),
-                                cache_pos=cache_pos)
+                                cache_pos=cache_pos,
+                                kv_read_limit=kv_read_limit)
                 hs_list.append(h)
                 for lst, n in zip(news, nkv):
                     lst.append(n)
@@ -389,7 +411,8 @@ def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
             def body(h, xs):
                 lp = xs[0]
                 h, nkv = _layer(cfg, lp, h, cache_kv=xs[1:],
-                                cache_pos=cache_pos)
+                                cache_pos=cache_pos,
+                                kv_read_limit=kv_read_limit)
                 return h, (h,) + nkv
 
             h, ys = jax.lax.scan(

@@ -107,7 +107,7 @@ class DecodeEngine:
                  prefill_buckets=(64, 128, 256, 512),
                  eos_id: Optional[int] = None, pad_id: int = 1,
                  unroll_layers: bool = True, kv_dtype=jnp.bfloat16,
-                 mesh=None):
+                 mesh=None, kv_read_buckets="auto"):
         self.params = params
         self.cfg = cfg
         self.slots = slots
@@ -115,6 +115,21 @@ class DecodeEngine:
         self.chunk = chunk
         self.buckets = tuple(b for b in sorted(set(prefill_buckets))
                              if b <= max_seq)
+        # KV read-window buckets: the chunk program compiles one variant per
+        # bucket and the scheduler picks the smallest one covering every
+        # slot's position bound, so decode KV traffic tracks the actual
+        # context depth instead of the provisioned max_seq (a pool built
+        # with max_seq=2048 serving ~200-token chats otherwise reads 8x the
+        # cache rows it needs, every step). "auto" = a power-of-two ladder
+        # from 256; None/() = the single full-read variant (old behavior).
+        if kv_read_buckets == "auto":
+            kv_read_buckets, b = [], 256
+            while b < max_seq:
+                kv_read_buckets.append(b)
+                b *= 2
+        self.kv_buckets = tuple(sorted(
+            {b for b in (kv_read_buckets or ()) if b < max_seq}
+            | {max_seq}))
         self.eos_id = eos_id
         self.pad_id = pad_id
         self.unroll = unroll_layers
@@ -143,13 +158,17 @@ class DecodeEngine:
             cache_sh = NamedSharding(mesh, P(None, None, None, "model",
                                              None))
             self.cache = jax.device_put(self.cache, cache_sh)
-        self._dstate = None            # device {"pos","tok","active"}
+        self._dstate = None            # device {"pos","tok","active","limit"}
         self._state: List[Optional[_SlotState]] = [None] * slots
+        # host-side upper bounds on each slot's device pos (see _run_chunk)
+        self._shadow = np.zeros((slots,), np.int64)
+        self._cap = np.zeros((slots,), np.int64)
         self._prefixes: Dict[int, dict] = {}
         self._next_prefix_id = 0
         self.stats = {"prefills": 0, "prefill_reqs": 0, "chunks": 0,
                       "decode_steps": 0, "tokens_out": 0,
-                      "prefix_hits": 0, "prefix_tokens_saved": 0}
+                      "prefix_hits": 0, "prefix_tokens_saved": 0,
+                      "kv_rows_read": 0}   # sum of per-chunk read windows
 
     def _ctx(self):
         if self.mesh is None:
@@ -184,15 +203,21 @@ class DecodeEngine:
                         jnp.asarray(toks),
                         jnp.ones((nreq,), jnp.int32),
                         jnp.full((nreq,), self.slots, jnp.int32),
+                        jnp.ones((nreq,), jnp.int32),
                         plen=pb, nreq=nreq)
-            self.cache, self._dstate, toks = self._chunk_fn(
-                self.params, self.cache, self._dstate)
+            for kv_hi in self.kv_buckets:
+                self.cache, self._dstate, toks = self._chunk_fn(
+                    self.params, self.cache, self._dstate, kv_hi=kv_hi)
             jax.block_until_ready(toks)
 
     def _fresh_state(self):
         return {"pos": jnp.zeros((self.slots,), jnp.int32),
                 "tok": jnp.full((self.slots,), self.pad_id, jnp.int32),
-                "active": jnp.zeros((self.slots,), bool)}
+                "active": jnp.zeros((self.slots,), bool),
+                # pos value at which the slot's token budget is exhausted:
+                # the device freezes it there, so an unfilled finished slot
+                # stops inflating the KV read-window bound
+                "limit": jnp.zeros((self.slots,), jnp.int32)}
 
     # -- jitted programs ----------------------------------------------------
 
@@ -202,8 +227,8 @@ class DecodeEngine:
 
         @functools.partial(jax.jit, static_argnames=("plen", "nreq"),
                            donate_argnums=(1, 2))
-        def prefill(params, cache, state, tokens, true_len, slot_ids, *,
-                    plen, nreq):
+        def prefill(params, cache, state, tokens, true_len, slot_ids,
+                    limits, *, plen, nreq):
             # Batched prefill: tokens (R, P), true_len (R,), slot_ids (R,).
             # One program launch plants R prompts into R slots — the weight
             # stream (the W8 dequant fallback reads the full LM once per
@@ -240,7 +265,9 @@ class DecodeEngine:
                      "tok": state["tok"].at[slot_ids].set(first,
                                                           mode="drop"),
                      "active": state["active"].at[slot_ids].set(True,
-                                                                mode="drop")}
+                                                                mode="drop"),
+                     "limit": state["limit"].at[slot_ids].set(limits,
+                                                              mode="drop")}
             return new_cache, state, first
 
         return prefill
@@ -359,7 +386,7 @@ class DecodeEngine:
         @functools.partial(jax.jit, static_argnames=("pfx", "plen", "nreq"),
                            donate_argnums=(1, 2))
         def prefill(params, cache, state, pk, pv, tokens, true_len,
-                    slot_ids, *, pfx, plen, nreq):
+                    slot_ids, limits, *, pfx, plen, nreq):
             # Suffix prefill at static offset pfx: tokens (R, P) are the
             # SUFFIX ids; pk/pv (L, 1, pfx, H, Dh) are the shared prefix's
             # cached KV rows, broadcast across the wave. models/opt.py's
@@ -398,7 +425,9 @@ class DecodeEngine:
                      "tok": state["tok"].at[slot_ids].set(first,
                                                           mode="drop"),
                      "active": state["active"].at[slot_ids].set(True,
-                                                                mode="drop")}
+                                                                mode="drop"),
+                     "limit": state["limit"].at[slot_ids].set(limits,
+                                                              mode="drop")}
             return new_cache, state, first
 
         return prefill
@@ -409,36 +438,74 @@ class DecodeEngine:
         pad_id, max_seq = self.pad_id, self.max_seq
         eos, steps = self.eos_id, self.chunk
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def run_chunk(params, cache, state):
+        @functools.partial(jax.jit, static_argnames=("kv_hi",),
+                           donate_argnums=(1, 2))
+        def run_chunk(params, cache, state, *, kv_hi):
             def step(carry, _):
-                cache, pos, tok, active = carry
+                cache, pos, tok, active, limit = carry
+                # budget freeze: a slot whose token budget is exhausted
+                # (pos reached limit) stops advancing, so until refill it
+                # neither inflates the KV read window nor decodes garbage
+                act = active & (pos < limit)
                 emb = opt_mod.embed_tokens(params, tok[:, None])
                 out = opt_mod.forward(params, cfg, emb, cache=cache,
-                                      cache_pos=pos, unroll_layers=unroll)
+                                      cache_pos=pos, unroll_layers=unroll,
+                                      kv_read_limit=kv_hi)
                 nxt = jnp.argmax(out["logits"][:, -1], axis=-1) \
                          .astype(jnp.int32)
-                nxt = jnp.where(active, nxt, pad_id)
+                nxt = jnp.where(act, nxt, pad_id)
                 new_active = active
                 if eos is not None:
-                    new_active = new_active & (nxt != eos)
+                    # EOS latches only on genuinely emitted tokens (frozen
+                    # slots emit pads, which must not flip the latch)
+                    new_active = new_active & ((nxt != eos) | ~act)
                 # inactive slots neither advance nor emit; their parked
                 # cache row is overwritten harmlessly until refill
-                pos = jnp.minimum(pos + active, max_seq - 1)
-                return (out["cache"], pos, nxt, new_active), nxt
+                pos = jnp.minimum(pos + act, max_seq - 1)
+                return (out["cache"], pos, nxt, new_active, limit), nxt
 
             entry_tok = state["tok"]
-            (cache, pos, tok, active), toks = jax.lax.scan(
-                step, (cache, state["pos"], state["tok"], state["active"]),
+            (cache, pos, tok, active, limit), toks = jax.lax.scan(
+                step, (cache, state["pos"], state["tok"], state["active"],
+                       state["limit"]),
                 None, length=steps)
             # Row 0 = the ENTRY tokens: for a slot just refilled this is the
             # prefill's first generated token, so the host learns it from
             # this one transfer instead of a per-prefill sync (measured
             # ~65 ms round-trip per refill over this link).
             toks = jnp.concatenate([entry_tok[None], toks], axis=0)
-            return cache, {"pos": pos, "tok": tok, "active": active}, toks
+            return cache, {"pos": pos, "tok": tok, "active": active,
+                           "limit": limit}, toks
 
         return run_chunk
+
+    def _run_chunk(self):
+        """Dispatch one decode chunk at the smallest KV read window covering
+        every slot's position bound. The bound is tracked host-side: a
+        slot's pos starts at its prompt length (refill), advances at most
+        `chunk` per dispatched chunk, and freezes at its budget limit
+        (device-enforced), so the window shrinks back after deep requests
+        retire. Picking the bucket costs no device round-trip."""
+        if len(self.kv_buckets) > 1:
+            end = np.minimum(np.minimum(self._shadow + self.chunk,
+                                        self._cap), self.max_seq - 1)
+            hi = int(end.max()) if end.size else self.max_seq
+            kv_hi = next(b for b in self.kv_buckets if b >= hi)
+            self._shadow = end
+        else:
+            kv_hi = self.max_seq
+        self.cache, self._dstate, toks = self._chunk_fn(
+            self.params, self.cache, self._dstate, kv_hi=kv_hi)
+        self.stats["chunks"] += 1
+        self.stats["decode_steps"] += self.chunk
+        self.stats["kv_rows_read"] += kv_hi
+        return toks
+
+    def _reset_pool(self):
+        self._dstate = self._fresh_state()
+        self._state = [None] * self.slots
+        self._shadow = np.zeros((self.slots,), np.int64)
+        self._cap = np.zeros((self.slots,), np.int64)
 
     # -- scheduler ----------------------------------------------------------
 
@@ -491,6 +558,17 @@ class DecodeEngine:
         for s, req in wave:
             self._state[s] = _SlotState(uid=req.uid, pos=len(req.prompt),
                                         max_new=req.max_new_tokens)
+            # host-side pos bound for the KV read window: the device pos
+            # starts at the prompt length and freezes at the budget limit
+            self._shadow[s] = len(req.prompt)
+            self._cap[s] = min(len(req.prompt) + req.max_new_tokens - 1,
+                               self.max_seq - 1)
+
+    def _limits(self, grp, base):
+        return np.asarray(
+            [min(base[i] + req.max_new_tokens - 1, self.max_seq - 1)
+             for i, (_, req) in enumerate(grp)]
+            + [1] * (self._rbucket(len(grp)) - len(grp)), np.int32)
 
     def _prefill_wave(self, grp):
         pb = max(_bucket(len(req.prompt), self.buckets) for _, req in grp)
@@ -502,9 +580,11 @@ class DecodeEngine:
             toks[i, :len(req.prompt)] = req.prompt
             lens[i] = len(req.prompt)
             slot_ids[i] = s
+        limits = self._limits(grp, [len(req.prompt) for _, req in grp])
         self.cache, self._dstate, _ = self._prefill_fn(
             self.params, self.cache, self._dstate, jnp.asarray(toks),
-            jnp.asarray(lens), jnp.asarray(slot_ids), plen=pb, nreq=nreq)
+            jnp.asarray(lens), jnp.asarray(slot_ids), jnp.asarray(limits),
+            plen=pb, nreq=nreq)
         self.stats["prefills"] += 1
         self.stats["prefill_reqs"] = (self.stats.get("prefill_reqs", 0)
                                       + len(grp))
@@ -526,10 +606,11 @@ class DecodeEngine:
             toks[i, :len(sfx)] = sfx
             lens[i] = len(sfx)
             slot_ids[i] = s
+        limits = self._limits(grp, [len(req.prompt) for _, req in grp])
         self.cache, self._dstate, _ = self._prefix_prefill_fn(
             self.params, self.cache, self._dstate, pfx["k"], pfx["v"],
             jnp.asarray(toks), jnp.asarray(lens), jnp.asarray(slot_ids),
-            pfx=n_pfx, plen=pb, nreq=nreq)
+            jnp.asarray(limits), pfx=n_pfx, plen=pb, nreq=nreq)
         self.stats["prefills"] += 1
         self.stats["prefill_reqs"] = (self.stats.get("prefill_reqs", 0)
                                       + len(grp))
@@ -576,16 +657,12 @@ class DecodeEngine:
         self._finished: List = []
         results: Dict[int, List[int]] = {}
         with self._ctx():
-            self._dstate = self._fresh_state()
-            self._state = [None] * self.slots
+            self._reset_pool()
             while queue or any(st is not None for st in self._state):
                 self._refill(queue)
                 if not any(st is not None for st in self._state):
                     continue             # everything finished in prefill
-                self.cache, self._dstate, toks = self._chunk_fn(
-                    self.params, self.cache, self._dstate)
-                self.stats["chunks"] += 1
-                self.stats["decode_steps"] += self.chunk
+                toks = self._run_chunk()
                 self._collect(np.asarray(toks))
         self._drain(results)
         return results
@@ -643,8 +720,7 @@ class DecodeEngine:
 
         pending = deque()
         with self._ctx():
-            self._dstate = self._fresh_state()
-            self._state = [None] * self.slots
+            self._reset_pool()
             while True:
                 # retire slots whose budget is covered by dispatched chunks
                 # OR whose request already finished at collection (EOS seen
@@ -662,10 +738,7 @@ class DecodeEngine:
                 if not active and not pending:
                     break
                 if active:
-                    self.cache, self._dstate, toks = self._chunk_fn(
-                        self.params, self.cache, self._dstate)
-                    self.stats["chunks"] += 1
-                    self.stats["decode_steps"] += self.chunk
+                    toks = self._run_chunk()
                     snap = {}
                     for s in active:
                         st = self._state[s]
@@ -687,17 +760,13 @@ class DecodeEngine:
         results: Dict[int, List[int]] = {}
         queue = list(requests)
         with self._ctx():
-            self._dstate = self._fresh_state()
-            self._state = [None] * self.slots
+            self._reset_pool()
             while queue:
                 wave, queue = queue[:self.slots], queue[self.slots:]
                 self._finished = []
                 self._refill(wave)
                 while any(st is not None for st in self._state):
-                    self.cache, self._dstate, toks = self._chunk_fn(
-                        self.params, self.cache, self._dstate)
-                    self.stats["chunks"] += 1
-                    self.stats["decode_steps"] += self.chunk
+                    toks = self._run_chunk()
                     self._collect(np.asarray(toks))
                 self._drain(results)
         return results

@@ -87,7 +87,7 @@ class GillDecodeEngine:
                  chunk: int = 16, prefill_buckets=(64, 128, 256),
                  unroll_layers: Optional[bool] = None,
                  kv_dtype=jnp.bfloat16, mesh=None, sampling: bool = False,
-                 max_img_runs: int = 1):
+                 max_img_runs: int = 1, kv_read_buckets="auto"):
         # sampling=True compiles per-slot temperature/top-p sampling into
         # the chunk program (a (slots, V) sort per step — measurable cost;
         # greedy-only engines skip it). Keys are stateless: per-request
@@ -117,6 +117,19 @@ class GillDecodeEngine:
         if unroll_layers is None:
             unroll_layers = jax.default_backend() == "tpu"
         self.unroll = unroll_layers
+        # KV read-window buckets (see serve/engine.py): one chunk-program
+        # variant per bucket; the scheduler picks the smallest window that
+        # covers every slot's position bound. Closed-budget GILL decode
+        # freezes finished slots device-side (pos advances only while
+        # `valid`), so the bound shrinks back when deep requests retire.
+        if kv_read_buckets == "auto":
+            kv_read_buckets, b = [], 256
+            while b < max_seq:
+                kv_read_buckets.append(b)
+                b *= 2
+        self.kv_buckets = tuple(sorted(
+            {b for b in (kv_read_buckets or ()) if b < max_seq}
+            | {max_seq}))
         # LM params with the [IMG]-adapter rows merged into the embedding
         # table, so embed_tokens AND the tied lm head see the learned rows.
         lm = dict(params["lm"])
@@ -151,11 +164,15 @@ class GillDecodeEngine:
         self._dstate = None
         self._dtap = None
         self._state: List[Optional[_GSlot]] = [None] * slots
+        # host-side upper bounds on each slot's device pos (see _run_chunk)
+        self._shadow = np.zeros((slots,), np.int64)
+        self._cap = np.zeros((slots,), np.int64)
         self._prefixes: Dict[int, dict] = {}
         self._next_prefix_id = 0
         self.stats = {"prefills": 0, "prefill_reqs": 0, "chunks": 0,
                       "decode_steps": 0, "tokens_out": 0,
-                      "prefix_hits": 0, "prefix_tokens_saved": 0}
+                      "prefix_hits": 0, "prefix_tokens_saved": 0,
+                      "kv_rows_read": 0}   # sum of per-chunk read windows
 
     # -- state ------------------------------------------------------------
 
@@ -217,9 +234,10 @@ class GillDecodeEngine:
                         i32, jnp.zeros((nreq,), jnp.int32), f32,
                         jnp.zeros((nreq,), jnp.float32), f32,
                         jnp.zeros((nreq,), jnp.int32), plen=pb, nreq=nreq)
-            out = self._chunk_fn(self.params, self.cache, self._dstate,
-                                 self._dtap)
-            self.cache, self._dstate, self._dtap = out[0], out[1], out[2]
+            for kv_hi in self.kv_buckets:
+                out = self._chunk_fn(self.params, self.cache, self._dstate,
+                                     self._dtap, kv_hi=kv_hi)
+                self.cache, self._dstate, self._dtap = out[0], out[1], out[2]
             jax.block_until_ready(out[3])
 
     # -- logit surgery (reference models.py:476-489), vectorized per slot --
@@ -520,8 +538,9 @@ class GillDecodeEngine:
         max_runs = self.max_runs
         final_tap, tap_layer = self.final_tap, self.tap_layer
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def run_chunk(params, cache, state, tap_state):
+        @functools.partial(jax.jit, static_argnames=("kv_hi",),
+                           donate_argnums=(1, 2))
+        def run_chunk(params, cache, state, tap_state, *, kv_hi):
             head = params["embed_tokens"]["weight"]
             B = state["tok"].shape[0]
             rows = jnp.arange(B)
@@ -532,7 +551,8 @@ class GillDecodeEngine:
                 out = opt_mod.forward(params, cfg, emb, cache=cache,
                                       cache_pos=pos, lm_head=head,
                                       collect_hidden=not final_tap,
-                                      unroll_layers=unroll)
+                                      unroll_layers=unroll,
+                                      kv_read_limit=kv_hi)
                 if final_tap:
                     hidden = out["last_hidden"][:, 0]
                 else:
@@ -567,7 +587,11 @@ class GillDecodeEngine:
                                       jnp.where(trigger, nt - 1, 0))
                 new_iter = jnp.where(force > 0, iter_c, iter_c + 1)
                 new_valid = ~done
-                pos = jnp.minimum(pos + 1, max_seq - 1)
+                # budget freeze: once a slot's closed budget is spent
+                # (valid latched False) it stops advancing, so until refill
+                # it neither inflates the KV read window nor burns cache
+                # rows on pad feeds (its outputs were already discarded)
+                pos = jnp.minimum(pos + valid, max_seq - 1)
                 return ((out["cache"], pos, nxt, new_iter, new_force,
                          new_valid, tap, run), (nxt, new_valid))
 
@@ -647,6 +671,14 @@ class GillDecodeEngine:
             self._prefill_group(pid, grp)
         for s, req, budget in wave:
             self._state[s] = _GSlot(uid=req.uid, budget=budget)
+            plen = req.embs.shape[0]
+            if req.prefix_id is not None:
+                plen += self._prefixes[req.prefix_id]["n"]
+            # host-side pos bound for the KV read window: pos starts at the
+            # prompt length and freezes (valid latch) once the closed
+            # budget is spent
+            self._shadow[s] = plen
+            self._cap[s] = min(plen + budget + 1, self.max_seq - 1)
 
     def _prefill_group(self, pid: Optional[int], wave):
         pfx = None if pid is None else self._prefixes[pid]
@@ -762,9 +794,33 @@ class GillDecodeEngine:
         with self._ctx():
             return self._run_inner(queue, results, pending, depth)
 
-    def _run_inner(self, queue, results, pending, depth):
+    def _run_chunk(self):
+        """Dispatch one decode chunk at the smallest KV read window covering
+        every slot's position bound (see serve/engine.py _run_chunk)."""
+        if len(self.kv_buckets) > 1:
+            end = np.minimum(np.minimum(self._shadow + self.chunk,
+                                        self._cap), self.max_seq - 1)
+            hi = int(end.max()) if end.size else self.max_seq
+            kv_hi = next(b for b in self.kv_buckets if b >= hi)
+            self._shadow = end
+        else:
+            kv_hi = self.max_seq
+        out = self._chunk_fn(self.params, self.cache, self._dstate,
+                             self._dtap, kv_hi=kv_hi)
+        self.cache, self._dstate, self._dtap = out[0], out[1], out[2]
+        self.stats["chunks"] += 1
+        self.stats["decode_steps"] += self.chunk
+        self.stats["kv_rows_read"] += kv_hi
+        return out[3], out[4]
+
+    def _reset_pool(self):
         self._dstate, self._dtap = self._fresh_state()
         self._state = [None] * self.slots
+        self._shadow = np.zeros((self.slots,), np.int64)
+        self._cap = np.zeros((self.slots,), np.int64)
+
+    def _run_inner(self, queue, results, pending, depth):
+        self._reset_pool()
         while True:
             for s in range(self.slots):
                 st = self._state[s]
@@ -776,11 +832,7 @@ class GillDecodeEngine:
             if not active and not pending:
                 break
             if active:
-                (self.cache, self._dstate, self._dtap, toks,
-                 valids) = self._chunk_fn(self.params, self.cache,
-                                          self._dstate, self._dtap)
-                self.stats["chunks"] += 1
-                self.stats["decode_steps"] += self.chunk
+                toks, valids = self._run_chunk()
                 snap = {}
                 for s in active:
                     st = self._state[s]

@@ -251,8 +251,7 @@ class OnlineEngine(_ThreadedEngine):
 
         eng = self.eng
         with eng._ctx():
-            eng._dstate = eng._fresh_state()
-            eng._state = [None] * eng.slots
+            eng._reset_pool()
             eng._finished = []
             waiting: List[RequestHandle] = []
             while True:
@@ -285,10 +284,7 @@ class OnlineEngine(_ThreadedEngine):
                     waiting = waiting[taken:]
                 if all(st is None for st in eng._state):
                     continue
-                eng.cache, eng._dstate, toks = eng._chunk_fn(
-                    eng.params, eng.cache, eng._dstate)
-                eng.stats["chunks"] += 1
-                eng.stats["decode_steps"] += eng.chunk
+                toks = eng._run_chunk()
                 eng._collect(np.asarray(toks))
                 self._deliver()
 
@@ -382,8 +378,7 @@ class GillOnlineEngine(_ThreadedEngine):
     def _loop(self):
         eng = self.eng
         with eng._ctx():
-            eng._dstate, eng._dtap = eng._fresh_state()
-            eng._state = [None] * eng.slots
+            eng._reset_pool()
             waiting: List[GillRequestHandle] = []
             while True:
                 idle = (not waiting
@@ -414,10 +409,6 @@ class GillOnlineEngine(_ThreadedEngine):
                     continue
                 import numpy as np
 
-                (eng.cache, eng._dstate, eng._dtap, toks,
-                 valids) = eng._chunk_fn(eng.params, eng.cache,
-                                         eng._dstate, eng._dtap)
-                eng.stats["chunks"] += 1
-                eng.stats["decode_steps"] += eng.chunk
+                toks, valids = eng._run_chunk()
                 self._deliver(np.asarray(toks), np.asarray(valids),
                               eng._dtap["tap"])

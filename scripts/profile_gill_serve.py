@@ -62,13 +62,15 @@ st["valid"] = jnp.ones((SLOTS,), bool)
 st["nw"] = jnp.full((SLOTS,), 10_000, jnp.int32)
 eng._dstate = st
 for _ in range(2):
-    out = eng._chunk_fn(eng.params, eng.cache, eng._dstate, eng._dtap)
+    out = eng._chunk_fn(eng.params, eng.cache, eng._dstate, eng._dtap,
+                        kv_hi=eng.max_seq)
     eng.cache, eng._dstate, eng._dtap = out[0], out[1], out[2]
     jax.block_until_ready(out[3])
 t0 = time.perf_counter()
 N = 5
 for _ in range(N):
-    out = eng._chunk_fn(eng.params, eng.cache, eng._dstate, eng._dtap)
+    out = eng._chunk_fn(eng.params, eng.cache, eng._dstate, eng._dtap,
+                        kv_hi=eng.max_seq)
     eng.cache, eng._dstate, eng._dtap = out[0], out[1], out[2]
 jax.block_until_ready(out[3])
 dt = (time.perf_counter() - t0) / N
@@ -106,15 +108,16 @@ peng = DecodeEngine(params["lm"], opt_cfg, slots=SLOTS, max_seq=512,
 peng.run([ServeRequest(uid=0, prompt=[5] * 20, max_new_tokens=4)])
 peng._dstate = {"pos": jnp.full((SLOTS,), 300, jnp.int32),
                 "tok": jnp.full((SLOTS,), 7, jnp.int32),
-                "active": jnp.ones((SLOTS,), bool)}
+                "active": jnp.ones((SLOTS,), bool),
+                "limit": jnp.full((SLOTS,), 511, jnp.int32)}
 for _ in range(2):
     peng.cache, peng._dstate, toks = peng._chunk_fn(
-        peng.params, peng.cache, peng._dstate)
+        peng.params, peng.cache, peng._dstate, kv_hi=peng.max_seq)
     jax.block_until_ready(toks)
 t0 = time.perf_counter()
 for _ in range(N):
     peng.cache, peng._dstate, toks = peng._chunk_fn(
-        peng.params, peng.cache, peng._dstate)
+        peng.params, peng.cache, peng._dstate, kv_hi=peng.max_seq)
 jax.block_until_ready(toks)
 dt = (time.perf_counter() - t0) / N
 print(f"plain chunk ({CHUNK} steps): {dt*1e3:.1f} ms -> "

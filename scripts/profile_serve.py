@@ -56,14 +56,15 @@ eng.run([ServeRequest(uid=0, prompt=[5] * p, max_new_tokens=4)
 # (a) chunk program alone, steady state
 state = {"pos": jnp.asarray(np.full(SLOTS, 300, np.int32)),
          "tok": jnp.asarray(np.full(SLOTS, 7, np.int32)),
-         "active": jnp.asarray(np.ones(SLOTS, bool))}
+         "active": jnp.asarray(np.ones(SLOTS, bool)),
+         "limit": jnp.asarray(np.full(SLOTS, 511, np.int32))}
 cache = opt_mod.init_cache(cfg, SLOTS, 512, dtype=jnp.bfloat16)
-c, state, toks = eng._chunk_fn(eng.params, cache, state)
+c, state, toks = eng._chunk_fn(eng.params, cache, state, kv_hi=eng.max_seq)
 jax.block_until_ready(toks)
 N = 8
 t0 = time.perf_counter()
 for _ in range(N):
-    c, state, toks = eng._chunk_fn(eng.params, c, state)
+    c, state, toks = eng._chunk_fn(eng.params, c, state, kv_hi=eng.max_seq)
 jax.block_until_ready(toks)
 dt = (time.perf_counter() - t0) / N
 print(f"chunk({CHUNK} steps, {SLOTS} slots): {dt*1e3:.1f} ms "
@@ -76,14 +77,17 @@ for pb in (64, 128, 256):
         toks_in = jnp.asarray(np.full((nreq, pb), 5, np.int32))
         lens = jnp.asarray(np.full((nreq,), pb, np.int32))
         sids = jnp.asarray(np.arange(nreq, dtype=np.int32))
+        lims = jnp.asarray(np.full((nreq,), 511, np.int32))
         c, state, first = eng._prefill_fn(eng.params, c, state, toks_in,
-                                          lens, sids, plen=pb, nreq=nreq)
+                                          lens, sids, lims, plen=pb,
+                                          nreq=nreq)
         jax.block_until_ready(first)
         t0 = time.perf_counter()
         M = 8
         for _ in range(M):
             c, state, first = eng._prefill_fn(eng.params, c, state, toks_in,
-                                              lens, sids, plen=pb, nreq=nreq)
+                                              lens, sids, lims, plen=pb,
+                                              nreq=nreq)
             jax.block_until_ready(first)
         dt = (time.perf_counter() - t0) / M
         print(f"prefill bucket {pb} x{nreq:2d} reqs: {dt*1e3:.1f} ms "

@@ -351,3 +351,72 @@ def test_engine_extend_prefix_matches_fresh_registration(tiny):
         eng.drop_prefix(pid0)
     with pytest.raises(ValueError, match="extension length"):
         eng.extend_prefix(pid1, [])
+
+
+def test_engine_kv_read_buckets_match_full_read(tiny):
+    """KV read-window bucketing: the chunk program compiles one variant per
+    bucket and the scheduler picks the smallest window covering every slot's
+    position bound (device budget freeze keeps retired slots from inflating
+    it). Must be invisible in the tokens — only the read traffic changes."""
+    params, cfg = tiny
+    rng = np.random.RandomState(23)
+    reqs = [ServeRequest(uid=i,
+                         prompt=rng.randint(2, 120,
+                                            size=int(rng.randint(3, 20))
+                                            ).tolist(),
+                         max_new_tokens=int(rng.randint(2, 14)))
+            for i in range(11)]
+
+    kw = dict(slots=4, max_seq=64, chunk=4, prefill_buckets=(8, 16, 32),
+              unroll_layers=False, kv_dtype=jnp.float32)
+    full = DecodeEngine(params, cfg, kv_read_buckets=None, **kw)
+    bkt = DecodeEngine(params, cfg, kv_read_buckets=(16, 32, 48), **kw)
+    assert full.kv_buckets == (64,)
+    assert bkt.kv_buckets == (16, 32, 48, 64)
+
+    want = full.run_pipelined(list(reqs))
+    got = bkt.run_pipelined(list(reqs))
+    assert got == want
+    # narrow windows were actually dispatched
+    assert bkt.stats["kv_rows_read"] < bkt.stats["chunks"] * bkt.max_seq, \
+        bkt.stats
+    assert full.stats["kv_rows_read"] == full.stats["chunks"] * full.max_seq
+
+    # same through run() and with EOS mid-stream
+    eos = want[reqs[0].uid][1]
+    full_e = DecodeEngine(params, cfg, kv_read_buckets=None, eos_id=eos,
+                          **kw)
+    bkt_e = DecodeEngine(params, cfg, kv_read_buckets=(16, 32, 48),
+                         eos_id=eos, **kw)
+    assert bkt_e.run(list(reqs)) == full_e.run(list(reqs))
+
+    # and through the prefix-cached path
+    base = rng.randint(2, 120, size=9).tolist()
+    pid_f = full.register_prefix(base)
+    pid_b = bkt.register_prefix(base)
+    preqs_f = [ServeRequest(uid=i, prompt=base + rng.randint(
+        2, 120, size=4 + i).tolist(), max_new_tokens=5, prefix_id=pid_f)
+        for i in range(3)]
+    preqs_b = [ServeRequest(uid=r.uid, prompt=r.prompt, max_new_tokens=5,
+                            prefix_id=pid_b) for r in preqs_f]
+    assert bkt.run(preqs_b) == full.run(preqs_f)
+
+
+def test_engine_budget_freeze_bounds_kv_window(tiny):
+    """One deep request next to a stream of shallow ones: once the deep
+    slot's budget is exhausted (device freeze), the window must shrink back
+    to the shallow depth even though the slot is never refilled."""
+    params, cfg = tiny
+    deep = ServeRequest(uid=0, prompt=list(range(2, 40)),
+                        max_new_tokens=20)          # pos caps at 57
+    shallow = [ServeRequest(uid=1 + i, prompt=[5, 6, 7],
+                            max_new_tokens=4) for i in range(8)]
+    eng = DecodeEngine(params, cfg, slots=2, max_seq=64, chunk=4,
+                       prefill_buckets=(8, 64), unroll_layers=False,
+                       kv_dtype=jnp.float32, kv_read_buckets=(16, 32, 48))
+    res = eng.run([deep] + shallow)
+    assert len(res[0]) == 20 and all(len(res[1 + i]) == 4 for i in range(8))
+    # after the deep request retires, chunks must have run at a window
+    # smaller than its depth: total rows < chunks * 64 AND at least one
+    # chunk at the smallest bucket that covers the shallow stream
+    assert eng.stats["kv_rows_read"] < eng.stats["chunks"] * 64, eng.stats

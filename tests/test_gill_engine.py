@@ -369,3 +369,43 @@ def test_gill_engine_extend_prefix_matches_fresh_registration(core_params):
         eng.extend_prefix(pid0, turn)
     with pytest.raises(ValueError, match="extension embs must be"):
         eng.extend_prefix(pid1, np.zeros((3,), np.float32))
+
+
+def test_gill_engine_kv_read_buckets_match_full_read(core_params):
+    """KV read-window bucketing on the GILL engine: tokens AND [IMG]-run
+    hidden taps must be identical to the full-read engine; the narrow
+    windows must actually be dispatched (kv_rows_read < chunks*max_seq)."""
+    core, params = core_params
+    rng = np.random.RandomState(29)
+    cases = []
+    for uid in range(6):
+        embs = _mk_embs(rng, int(rng.randint(3, 14)), core.lm_dim)
+        nw = int(rng.randint(2, 9))
+        scale = 100.0 if uid % 2 == 0 else 1.0
+        cases.append((uid, embs, nw, scale))
+    reqs = [GillServeRequest(uid=u, embs=e, num_words=nw, img_scale=sc)
+            for u, e, nw, sc in cases]
+
+    kw = dict(slots=3, max_seq=64, chunk=3, prefill_buckets=(8, 16),
+              unroll_layers=False, kv_dtype=jnp.float32)
+    full = GillDecodeEngine(core, params, kv_read_buckets=None, **kw)
+    bkt = GillDecodeEngine(core, params, kv_read_buckets=(16, 32, 48), **kw)
+    assert full.kv_buckets == (64,)
+    assert bkt.kv_buckets == (16, 32, 48, 64)
+
+    want = full.run([GillServeRequest(uid=r.uid, embs=r.embs,
+                                      num_words=r.num_words,
+                                      img_scale=r.img_scale) for r in reqs])
+    got = bkt.run(reqs)
+    assert set(got) == set(want)
+    any_img = False
+    for u in want:
+        assert got[u]["tokens"] == want[u]["tokens"], f"uid {u}"
+        np.testing.assert_allclose(got[u]["img_hidden"],
+                                   want[u]["img_hidden"], atol=2e-4,
+                                   err_msg=f"uid {u}")
+        if _first_run(want[u]["tokens"], NUM_TOKENS) is not None:
+            any_img = True
+    assert any_img, "test must exercise at least one [IMG] run"
+    assert bkt.stats["kv_rows_read"] < bkt.stats["chunks"] * bkt.max_seq, \
+        bkt.stats

@@ -246,3 +246,34 @@ def test_layer_view_w8_stacked_forward():
     np.testing.assert_allclose(np.asarray(step_u["logits"]),
                                np.asarray(step_r["logits"]), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_forward_kv_read_limit_matches_full_read():
+    """kv_read_limit statically narrows the deferred-decode cache read; as
+    long as every slot's cache_pos <= limit the logits match to float
+    tolerance (the same masked reduction over fewer rows)."""
+    import numpy as np
+
+    cfg = OPTConfig(num_layers=2, hidden_size=64, ffn_dim=128, num_heads=4,
+                    vocab_size=96, max_positions=128, word_embed_proj_dim=64)
+    params = opt_mod.init(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(0)
+    cache = opt_mod.init_cache(cfg, 3, 64, dtype=jnp.float32)
+    cache = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(rng.randn(*x.shape).astype(np.float32) * 0.1),
+        cache)
+    pos = jnp.asarray([5, 17, 30], jnp.int32)
+    emb = opt_mod.embed_tokens(params, jnp.asarray([[7], [9], [11]], jnp.int32))
+    full = opt_mod.forward(params, cfg, emb, cache=cache, cache_pos=pos)
+    lim = opt_mod.forward(params, cfg, emb, cache=cache, cache_pos=pos,
+                      kv_read_limit=32)
+    np.testing.assert_allclose(np.asarray(lim["logits"]),
+                               np.asarray(full["logits"]),
+                               atol=1e-5, rtol=1e-5)
+    # the deferred write must still land in the FULL cache (tolerance:
+    # the narrower attention reduce perturbs layer-2 inputs by an ulp)
+    for key in ("k", "v"):
+        np.testing.assert_allclose(
+            np.asarray(lim["cache"][key][:, jnp.arange(3), pos]),
+            np.asarray(full["cache"][key][:, jnp.arange(3), pos]),
+            atol=1e-5, rtol=1e-5)

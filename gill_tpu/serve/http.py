@@ -302,9 +302,21 @@ def main(argv: Optional[list] = None):
     p.add_argument("--slots", type=int, default=16)
     p.add_argument("--max-seq", type=int, default=512)
     p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--kv-read-buckets", default="auto",
+                   help="decode KV read-window buckets: 'auto' "
+                        "(power-of-two ladder), 'off' (always read "
+                        "max_seq rows), or comma-separated row counts "
+                        "(e.g. 256,512,1024)")
     p.add_argument("--platform", default=None,
                    help="jax platform override (e.g. cpu)")
     args = p.parse_args(argv)
+    if args.kv_read_buckets == "off":
+        kv_buckets = None
+    elif args.kv_read_buckets == "auto":
+        kv_buckets = "auto"
+    else:
+        kv_buckets = tuple(int(b) for b in
+                           args.kv_read_buckets.split(","))
 
     import jax
 
@@ -319,7 +331,7 @@ def main(argv: Optional[list] = None):
     cfg = OPTConfig.from_name(args.model)
     params = opt_mod.init_dummy(cfg, jnp.bfloat16)
     eng = DecodeEngine(params, cfg, slots=args.slots, max_seq=args.max_seq,
-                       chunk=args.chunk)
+                       chunk=args.chunk, kv_read_buckets=kv_buckets)
     eng.warmup()
     online = OnlineEngine(eng)
     srv = make_server(online, host=args.host, port=args.port)

@@ -44,6 +44,17 @@ class RequestHandle:
         self.done = threading.Event()
         self.cond = threading.Condition()
         self.error: Optional[str] = None
+        self.cancelled = False
+
+    def cancel(self) -> None:
+        """Request cancellation (e.g. the client disconnected). Safe from
+        any thread and idempotent. The scheduler honors it at the next
+        chunk boundary: a still-queued request finishes immediately with
+        no tokens; an in-flight one stops decoding, frees its slot for
+        the other requests, and completes with the tokens produced so
+        far. result() then returns that partial list (check .cancelled);
+        stream() simply ends."""
+        self.cancelled = True
 
     def result(self, timeout: Optional[float] = None) -> List[int]:
         if not self.done.wait(timeout):

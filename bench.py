@@ -643,11 +643,18 @@ def bench_sd_decode(batch: int, steps: int = 50, size: int = 512,
     def denoise_n(lat, ctx, n):
         return pipe.denoise(lat, ctx, n, 7.5).astype(jnp.float32).sum()
 
-    n1, n2 = 2, 10
-    t1 = _timed_scalar(lambda l, c: denoise_n(l, c, n1), lat, ctx)
-    t2 = _timed_scalar(lambda l, c: denoise_n(l, c, n2), lat, ctx)
-    per_step = max((t2 - t1) / (n2 - n1), 1e-9)
-    return batch / (steps * per_step)
+    # ONE compiled program, timing EXACTLY the metric's step count. The
+    # old two-point (n=2, n=10) extrapolation compiled the full UNet
+    # denoise scan TWICE per entry; in the driver environment (cold XLA
+    # cache) that second compile is what blew sd_dpm past its 491s wall
+    # and destroyed the recorded north-star value (VERDICT r4 #1b). It
+    # also EXCLUDED the per-call fixed cost (scheduler setup etc.) from
+    # the rate; timing the full n=steps denoise directly measures the
+    # quantity the metric names, with zero extrapolation (reads ~3-5%
+    # lower than the old method — that delta was real cost the two-point
+    # subtraction was discarding).
+    t = _timed_scalar(lambda l, c: denoise_n(l, c, steps), lat, ctx)
+    return batch / max(t, 1e-9)
 
 
 def bench_train_step(opt_name: str, batch: int, max_len: int = 32,
@@ -882,40 +889,98 @@ def _write_matrix(by_name):
     os.replace(tmp, _matrix_path())
 
 
+def _now():
+    return time.perf_counter()
+
+
+def _stamp_now():
+    return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
+
+# Always-refreshed entries: the headline (first) and the throughput
+# north-star carrier sd_dpm (VERDICT r4 #1b — it must be re-measured every
+# driver run, immediately after the headline while budget remains).
+_PINNED = ("sd", "sd_dpm")
+
+
+def _plan_order(by_name):
+    """Run order for one matrix invocation: the pinned entries first, then
+    every other entry OLDEST-known-good-stamp first (a failed or never-run
+    entry counts as oldest), ties broken by _MATRIX_RUNS priority. This
+    bounds staleness (VERDICT r4 #2): consecutive driver runs walk the
+    whole matrix instead of always re-running the same priority prefix."""
+    names = [n for n, _, _ in _MATRIX_RUNS]
+    idx = {n: i for i, n in enumerate(names)}
+    rest = [n for n in names if n not in _PINNED]
+
+    def age(n):
+        rec = by_name.get(n)
+        good = rec is not None and "value" in rec
+        return (rec.get("stamp", "") if good else "", idx[n])
+
+    rest.sort(key=age)
+    return [n for n in _PINNED if n in idx] + rest
+
+
+def _merge_record(by_name, name, rec, stamp):
+    """Failure-proof merge (VERDICT r4 #1a): a failed refresh must never
+    clobber a known-good value. The old record survives with
+    last_error/last_error_stamp attached; the failure record itself lands
+    only when there is no good value to protect."""
+    if "value" in rec:
+        rec["stamp"] = stamp
+        by_name[name] = rec
+        return rec
+    old = by_name.get(name)
+    if old is not None and "value" in old:
+        old = dict(old)
+        old["last_error"] = rec.get("error", "failed")
+        old["last_error_stamp"] = stamp
+        by_name[name] = old
+        return old
+    rec["stamp"] = stamp
+    by_name[name] = rec
+    return rec
+
+
 def bench_matrix():
     """Default driver mode. Contract (VERDICT r2 #1): print the headline
     JSON line as soon as the headline bench lands, then refresh the
     remaining BENCH_MATRIX.json entries within GILL_BENCH_BUDGET seconds,
-    rewriting the file incrementally so a kill never loses finished work."""
+    rewriting the file incrementally so a kill never loses finished work.
+    Entries carry a per-entry "stamp" (last successful refresh; persisted
+    across invocations) and refresh oldest-first after the pinned head."""
     budget = float(os.environ.get("GILL_BENCH_BUDGET", "900"))
-    t_start = time.perf_counter()
+    t_start = _now()
 
-    # Previous matrix (entries not re-run within budget keep their last
-    # known value; "stamp" marks which values are from THIS invocation).
+    # Previous matrix: entries not re-run within budget keep their last
+    # known value AND its stamp (the stamp is the entry's age, which
+    # drives the refresh rotation).
     by_name = {}
     try:
         with open(_matrix_path()) as f:
             for rec in json.load(f):
                 key = rec.get("bench") or rec.get("metric", "?")
-                rec.pop("stamp", None)
                 by_name.setdefault(key, rec)
     except Exception:
         pass
 
-    stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-    headline = None
+    runs = {n: (env, est) for n, env, est in _MATRIX_RUNS}
+    stamp = _stamp_now()
     headline_printed = False
-    for name, env, est in _MATRIX_RUNS:
-        remaining = budget - (time.perf_counter() - t_start)
+    for name in _plan_order(by_name):
+        env, est = runs[name]
+        remaining = budget - (_now() - t_start)
         # The headline entry gets the whole remaining budget (it must
         # produce the one-line contract output); later entries only run if
         # their warm-cache estimate still fits.
         if headline_printed and remaining < est:
             continue
         rec = _run_one_subprocess(name, env, max(remaining, 60))
-        rec["stamp"] = stamp
-        by_name[name] = rec
+        _merge_record(by_name, name, rec, stamp)
         if not headline_printed:
+            # The printed headline is THIS run's measurement — a stale
+            # value rescued by _merge_record must not masquerade as fresh.
             headline = rec if "value" in rec else None
             if headline is None:
                 # Headline bench failed: fall back to the cheapest known-
@@ -923,9 +988,8 @@ def bench_matrix():
                 fb = _run_one_subprocess(
                     "opt13", {"GILL_BENCH": "opt", "GILL_BENCH_UNROLL": "1",
                               "GILL_BENCH_MODEL": "facebook/opt-1.3b"},
-                    max(budget - (time.perf_counter() - t_start), 60))
-                fb["stamp"] = stamp
-                by_name["opt13"] = fb
+                    max(budget - (_now() - t_start), 60))
+                _merge_record(by_name, "opt13", fb, stamp)
                 headline = fb if "value" in fb else {
                     "metric": "bench_failed", "value": 0, "unit": "",
                     "vs_baseline": 0}

@@ -95,8 +95,6 @@ class RetrievalIndex:
         """Local top-k per index shard + global merge over gathered
         (shards*k) candidates — the collective moves O(shards*k) floats
         instead of the full (B, N) score matrix."""
-        from jax.experimental.shard_map import shard_map
-
         n_real = self.n
 
         def local(q, m, seen):
@@ -117,11 +115,11 @@ class RetrievalIndex:
             vv, pos = jax.lax.top_k(v, k)  # merge (B, shards*k) -> (B, k)
             return vv, jnp.take_along_axis(gi, pos, axis=1)
 
-        return shard_map(
+        return jax.shard_map(
             local, mesh=self.mesh,
             in_specs=(P(None, None), P("data", None), P(None, None)),
             out_specs=(P(None, None), P(None, None)),
-            check_rep=False)(queries, self.matrix, seen_ids)
+            check_vma=False)(queries, self.matrix, seen_ids)
 
     def topk(self, query: np.ndarray, k: int = 3,
              seen_idx: Sequence[int] = ()) -> Tuple[np.ndarray, np.ndarray]:

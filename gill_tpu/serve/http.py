@@ -283,6 +283,13 @@ def make_server(online: Optional[OnlineEngine] = None, tokenizer=None,
                 # engine closed / scheduler crash mid-stream: the client
                 # gets a terminal error record, not a truncated body
                 self._chunk(json.dumps({"error": str(e)}).encode() + b"\n")
+            except OSError:
+                # the CLIENT went away mid-stream (broken pipe / reset):
+                # cancel the request so its slot frees at the next chunk
+                # boundary instead of decoding to completion for nobody
+                handle.cancel()
+                self.close_connection = True
+                return
             self.wfile.write(b"0\r\n\r\n")
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -49,11 +49,13 @@ class RequestHandle:
     def cancel(self) -> None:
         """Request cancellation (e.g. the client disconnected). Safe from
         any thread and idempotent. The scheduler honors it at the next
-        chunk boundary: a still-queued request finishes immediately with
-        no tokens; an in-flight one stops decoding, frees its slot for
-        the other requests, and completes with the tokens produced so
-        far. result() then returns that partial list (check .cancelled);
-        stream() simply ends."""
+        chunk boundary (_ThreadedEngine._cancel_sweep): a still-queued
+        request finishes immediately with no tokens; an in-flight one
+        stops decoding (its device slot is deactivated and freed for
+        waiting requests) and completes with the tokens streamed so far.
+        result() then returns that partial list (check .cancelled);
+        stream() simply ends. Cancelling a finished request is a no-op:
+        the flag is set but the full result stays available."""
         self.cancelled = True
 
     def result(self, timeout: Optional[float] = None) -> List[int]:
@@ -97,7 +99,9 @@ class _PrefixReg:
 class GillRequestHandle(RequestHandle):
     """RequestHandle + the [IMG] runs' hidden states, set at completion
     (the GILLMapper / retrieval-head input): img_hidden is the first run
-    (nt, E); img_runs the engine's full (max_img_runs, nt, E) tap ring."""
+    (nt, E); img_runs the engine's full (max_img_runs, nt, E) tap ring.
+    A cancelled request completes with img_hidden/img_runs still None —
+    partial decodes carry no usable [IMG] taps."""
 
     def __init__(self, uid, request):
         super().__init__(uid, [], request.num_words)
@@ -187,6 +191,47 @@ class _ThreadedEngine:
                     h.done.set()
                     h.cond.notify_all()
 
+    def _cancel_sweep(self, waiting: list):
+        """Honor RequestHandle.cancel() at the chunk boundary (scheduler
+        thread only). Queued requests complete immediately with no tokens;
+        in-flight ones free their slot (host-side now, device-side via
+        _deactivate_slots so the slot stops decoding and stops inflating
+        the KV read window) and complete with the tokens streamed so far."""
+        eng = self.eng
+        keep = []
+        for w in waiting:
+            if isinstance(w, RequestHandle) and w.cancelled:
+                eng.stats["cancelled"] = eng.stats.get("cancelled", 0) + 1
+                self._finish_cancelled(w)
+            else:
+                keep.append(w)
+        waiting[:] = keep
+        dead = []
+        for s, st in enumerate(eng._state):
+            if st is None:
+                continue
+            h = self._handles.get(st.uid)
+            if h is not None and h.cancelled:
+                dead.append(s)
+                eng._state[s] = None
+                eng._shadow[s] = 0
+                eng._cap[s] = 0
+                eng.stats["tokens_out"] += len(h.tokens)
+                eng.stats["cancelled"] = eng.stats.get("cancelled", 0) + 1
+                self._finish_cancelled(h)
+        if dead:
+            self._deactivate_slots(dead)
+
+    def _finish_cancelled(self, h: RequestHandle):
+        self._handles.pop(h.uid, None)
+        with h.cond:
+            if not h.done.is_set():
+                h.done.set()
+                h.cond.notify_all()
+
+    def _deactivate_slots(self, slots: List[int]) -> None:
+        raise NotImplementedError
+
     def _drain_queue(self, waiting: list, block: bool):
         try:
             item = self._q.get(block=block)
@@ -235,6 +280,19 @@ class OnlineEngine(_ThreadedEngine):
             raise ValueError(f"prefix length {len(tokens)} must be in "
                              f"[1, max_seq={self.eng.max_seq})")
         return self._submit_reg(_PrefixReg([int(t) for t in tokens]))
+
+    def _deactivate_slots(self, slots: List[int]) -> None:
+        """Stop the device decoding cancelled slots: the chunk program's
+        EOS/budget latch is the `active` flag (engine.py _chunk_fn), so one
+        host-side scatter parks the slot — it emits pads and freezes pos
+        until a refill's prefill scatter re-activates it."""
+        import jax.numpy as jnp
+
+        eng = self.eng
+        idx = jnp.asarray(slots, jnp.int32)
+        st = dict(eng._dstate)
+        st["active"] = st["active"].at[idx].set(False)
+        eng._dstate = st
 
     def _deliver(self):
         """Push engine-side progress out to the handles (called after each
@@ -285,6 +343,7 @@ class OnlineEngine(_ThreadedEngine):
                             # registering caller, not the scheduler
                             rg.error = f"{type(e).__name__}: {e}"
                         rg.done.set()
+                self._cancel_sweep(waiting)
                 if waiting:
                     reqs = [ServeRequest(uid=h.uid, prompt=h.prompt,
                                          max_new_tokens=h.max_new,
@@ -339,6 +398,23 @@ class GillOnlineEngine(_ThreadedEngine):
             raise ValueError(f"prefix length {embs.shape[0]} must be in "
                              f"[1, max_seq={self.eng.max_seq})")
         return self._submit_reg(_PrefixReg(embs))
+
+    def _deactivate_slots(self, slots: List[int]) -> None:
+        """Stop the device decoding cancelled slots. The gill chunk
+        program has no standalone active flag — `done` derives from
+        (force == 0) & (iter >= nw) and re-latches valid every step
+        (gill_engine.py _chunk_fn) — so parking a slot means draining its
+        force counter and pushing iter past any budget; valid is cleared
+        too so pos freezes from the very next fed token."""
+        import jax.numpy as jnp
+
+        eng = self.eng
+        idx = jnp.asarray(slots, jnp.int32)
+        st = dict(eng._dstate)
+        st["iter"] = st["iter"].at[idx].set(jnp.int32(2 ** 30))
+        st["force"] = st["force"].at[idx].set(0)
+        st["valid"] = st["valid"].at[idx].set(False)
+        eng._dstate = st
 
     def _deliver(self, toks, valids, tap_dev):
         """Fold one chunk's rows into slot states; stream each request's
@@ -411,6 +487,7 @@ class GillOnlineEngine(_ThreadedEngine):
                             # registering caller, not the scheduler
                             rg.error = f"{type(e).__name__}: {e}"
                         rg.done.set()
+                self._cancel_sweep(waiting)
                 if waiting:
                     reqs = [h.request for h in waiting]
                     eng._refill(reqs)

@@ -94,6 +94,45 @@ def test_online_scheduler_crash_fails_handles(core_params):
         online.submit(rng.randn(5, core.lm_dim).astype(np.float32), 4)
 
 
+def test_gill_online_cancel(core_params):
+    """cancel() on the GILL engine: queued requests complete empty,
+    in-flight ones return the streamed valid prefix (img taps stay None),
+    the freed slot serves waiting work, finished handles are unaffected."""
+    core, params = core_params
+    rng = np.random.RandomState(9)
+    embs = rng.randn(6, core.lm_dim).astype(np.float32) * 0.02
+    full = _engine(core, params).run(
+        [GillServeRequest(uid=0, embs=embs, num_words=30)])[0]["tokens"]
+    short = _engine(core, params).run(
+        [GillServeRequest(uid=0, embs=embs, num_words=4)])[0]["tokens"]
+
+    online = GillOnlineEngine(_engine(core, params))   # 2 slots
+    try:
+        a = online.submit(embs, 30)
+        it = a.stream()
+        first = next(it)                  # a is in-flight
+        b = online.submit(embs, 30)       # second slot
+        c = online.submit(embs, 4)        # queued (2 slots)
+        c.cancel()                        # queued cancel: completes empty
+        assert c.result(timeout=60) == []
+        a.cancel()                        # in-flight cancel: valid prefix
+        got = a.result(timeout=60)
+        assert [first] + list(it) == got
+        assert 1 <= len(got) < 30
+        assert got == full[:len(got)]
+        assert a.img_hidden is None and a.img_runs is None
+        # the other in-flight request is untouched...
+        assert b.result(timeout=120) == full
+        # ...and the freed slot serves new work to completion
+        d = online.submit(embs, 4)
+        assert d.result(timeout=120) == short
+        d.cancel()                        # post-done cancel: no-op
+        assert d.result(timeout=10) == short
+        assert online.eng.stats["cancelled"] == 2
+    finally:
+        online.close()
+
+
 def _tiny_gill():
     """Minimal GILL with tiny SD for the HTTP pipeline test (mirrors the
     test_api fixture, without retrieval/decision)."""

@@ -157,6 +157,78 @@ def test_http_server_end_to_end(tiny):
         online.close()
 
 
+def test_cancel_queued_in_flight_and_done(tiny):
+    """cancel() semantics: a queued request completes immediately with no
+    tokens; an in-flight one completes with the streamed partial prefix
+    and frees its slot for waiting work; a finished one is unaffected."""
+    full = _engine(tiny, slots=1).run(
+        [ServeRequest(uid=0, prompt=[7, 9, 11], max_new_tokens=40)])[0]
+    want_c = _engine(tiny, slots=1).run(
+        [ServeRequest(uid=0, prompt=[8, 4], max_new_tokens=5)])[0]
+
+    online = OnlineEngine(_engine(tiny, slots=1))
+    try:
+        a = online.submit([7, 9, 11], 40)
+        it = a.stream()
+        first = next(it)                  # a is in-flight
+        b = online.submit([5, 6], 30)     # queued behind a (1 slot)
+        c = online.submit([8, 4], 5)      # queued
+        b.cancel()                        # queued cancel: completes empty
+        assert b.result(timeout=60) == []
+        assert b.cancelled
+        a.cancel()                        # in-flight cancel: partial prefix
+        got = a.result(timeout=60)
+        assert [first] + list(it) == got  # stream simply ends
+        assert 1 <= len(got) < 40
+        assert got == full[:len(got)]
+        # the freed slot serves the still-waiting request to completion
+        assert c.result(timeout=120) == want_c
+        c.cancel()                        # post-done cancel: no-op
+        assert c.result(timeout=10) == want_c
+        assert online.eng.stats["cancelled"] == 2
+    finally:
+        online.close()
+
+
+def test_http_stream_client_disconnect_cancels(tiny):
+    """A client dropping mid-NDJSON-stream must cancel its request: the
+    slot frees at the next chunk boundary and serves waiting work instead
+    of decoding to completion for nobody."""
+    import socket
+    import struct
+    import time
+
+    want = _engine(tiny, slots=1).run(
+        [ServeRequest(uid=0, prompt=[5, 6], max_new_tokens=4)])[0]
+    online = OnlineEngine(_engine(tiny, slots=1))
+    srv = make_server(online, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        body = json.dumps({"prompt": [7, 9, 11], "max_new_tokens": 50,
+                           "stream": True}).encode()
+        raw = (b"POST /v1/generate HTTP/1.1\r\nHost: t\r\n"
+               b"Content-Type: application/json\r\n"
+               + f"Content-Length: {len(body)}\r\n\r\n".encode() + body)
+        s = socket.create_connection(("127.0.0.1", port))
+        s.sendall(raw)
+        assert s.recv(1)                  # stream started (headers landed)
+        # abort with RST so the server's next unbuffered chunk write fails
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                     struct.pack("ii", 1, 0))
+        s.close()
+        deadline = time.time() + 60
+        while (online.eng.stats.get("cancelled", 0) < 1
+               and time.time() < deadline):
+            time.sleep(0.02)
+        assert online.eng.stats.get("cancelled", 0) == 1
+        # the freed slot still serves new work correctly
+        assert online.submit([5, 6], 4).result(timeout=120) == want
+    finally:
+        srv.shutdown()
+        online.close()
+
+
 def test_online_prefix_caching_matches(tiny):
     """register_prefix rides the scheduler thread; prefixed submissions
     produce the full-prefill tokens and record prefix hits."""

@@ -83,6 +83,53 @@ def _timed_scalar(fn, *args) -> float:
     return max(sorted(samples)[1] - _dispatch_overhead(), 1e-9)
 
 
+# v5e HBM bandwidth, bytes/s (public spec ~819 GB/s). Used only to derive
+# the roofline_frac fields next to serve/decode tok/s; the tok/s values
+# themselves are hardware-agnostic measurements.
+_HBM_BYTES_PER_S = 819e9
+
+
+def _opt_stream_bytes(cfg, w8: bool, kv8: bool = False):
+    """Minimum HBM traffic for ONE decode step of the whole batch: every
+    weight matrix streams once (decode matmuls run at M = batch <= 64, far
+    below the MXU's 128-deep tiles, so they are weight-bandwidth bound —
+    the same model that justifies W8 in ops/w8_matmul.py), plus the
+    LM-head/embedding read for the logits matmul. Returns
+    (weight_bytes_per_step, kv_bytes_per_context_row) where a context row
+    is one (slot, position) K+V read across all layers."""
+    h, f, L = cfg.hidden_size, cfg.ffn_dim, cfg.num_layers
+    V, E = cfg.vocab_size, cfg.word_embed_proj_dim
+    wb = 1 if w8 else 2                       # int8 vs bf16 weights
+    weights = L * (4 * h * h + 2 * h * f) * wb + V * E * 2
+    if E != h:
+        weights += 2 * h * E * 2              # project_in/out stay bf16
+    kv_row = L * 2 * h * (1 if kv8 else 2)    # K+V, all layers, one pos
+    return weights, kv_row
+
+
+def _decode_roofline(cfg, batch, mean_ctx, tok_per_s, w8, kv8=False):
+    """Achieved fraction of the weight+KV HBM-bandwidth bound for a plain
+    batched decode at a mean context depth (VERDICT r4 #5)."""
+    w_bytes, kv_row = _opt_stream_bytes(cfg, w8, kv8)
+    bytes_per_step = w_bytes + batch * mean_ctx * kv_row
+    return (tok_per_s / batch) * bytes_per_step / _HBM_BYTES_PER_S
+
+
+def _serve_roofline(eng, cfg, stats_before, wall_s, w8, kv8=False):
+    """Achieved fraction of the HBM-bandwidth bound for a serving-engine
+    run, from the engine's own traffic counters: decode steps each stream
+    the weights once; KV reads follow the per-chunk read windows the
+    scheduler actually dispatched (kv_rows_read); each prefill wave
+    streams the weights at least once (prefill activation traffic is NOT
+    modeled, so the fraction slightly understates prefill-heavy runs)."""
+    w_bytes, kv_row = _opt_stream_bytes(cfg, w8, kv8)
+    d = {k: eng.stats[k] - stats_before.get(k, 0) for k in eng.stats}
+    traffic = (d["decode_steps"] * w_bytes
+               + d["kv_rows_read"] * eng.chunk * eng.slots * kv_row
+               + d["prefills"] * w_bytes)
+    return traffic / (wall_s * _HBM_BYTES_PER_S)
+
+
 def bench_opt_decode(model, batch, prompt_len, gen_len):
     import jax
     import jax.numpy as jnp
@@ -270,12 +317,15 @@ def bench_serve(model, slots, n_requests=48, seed=7):
                       .tolist(),
             max_new_tokens=int(rng.randint(16, 193))) for i in range(n)]
 
+    kv8 = os.environ.get("GILL_BENCH_KV8", "0") == "1"
+
     def make_engine():
         return DecodeEngine(params, cfg, slots=slots, max_seq=512,
                             chunk=int(os.environ.get("GILL_BENCH_CHUNK",
                                                      "32")),
                             prefill_buckets=(64, 128, 256),
-                            unroll_layers=True)
+                            unroll_layers=True,
+                            kv_dtype=jnp.int8 if kv8 else jnp.bfloat16)
 
     import time as _t
 
@@ -288,6 +338,7 @@ def bench_serve(model, slots, n_requests=48, seed=7):
 
     reqs = trace(n_requests)
     n_tok = sum(r.max_new_tokens for r in reqs)
+    s0 = dict(eng.stats)
     t0 = _t.perf_counter()
     # The asynchronous chunk pipeline: refills are planned from the known
     # token budgets, so the device runs chunk-to-chunk with no host
@@ -297,13 +348,14 @@ def bench_serve(model, slots, n_requests=48, seed=7):
     dt = _t.perf_counter() - t0
     assert sum(len(v) for v in out.values()) == n_tok
     cont_tps = n_tok / dt
+    frac = _serve_roofline(eng, cfg, s0, dt, w8, kv8=kv8)
 
     t0 = _t.perf_counter()
     out = eng.run_waves(list(reqs))
     dt_w = _t.perf_counter() - t0
     assert sum(len(v) for v in out.values()) == n_tok
     wave_tps = n_tok / dt_w
-    return cont_tps, wave_tps
+    return cont_tps, wave_tps, frac
 
 
 def bench_serve_prefix(model, *, pfx=192, sfx=32, nreq=48, new=64,
@@ -589,11 +641,13 @@ def bench_gill_serve(model, slots, n_requests=48, seed=13):
 
     import time as _t
 
+    s0 = dict(eng.stats)
     t0 = _t.perf_counter()
     out = eng.run(list(reqs))
     dt = _t.perf_counter() - t0
     n_tok = sum(len(v["tokens"]) for v in out.values())
     eng_tps = n_tok / dt
+    frac = _serve_roofline(eng, opt_cfg, s0, dt, w8)
 
     # sequential baseline sample: 2 requests per prompt bucket
     sample = []
@@ -614,7 +668,7 @@ def bench_gill_serve(model, slots, n_requests=48, seed=13):
         seq_time += _t.perf_counter() - t0
         seq_tok += int(np.asarray(o["valid"][0]).sum())
     seq_tps = seq_tok / seq_time
-    return eng_tps, seq_tps
+    return eng_tps, seq_tps, frac
 
 
 def bench_sd_decode(batch: int, steps: int = 50, size: int = 512,
@@ -751,6 +805,15 @@ _MATRIX_RUNS = [
     # int8 weights.
     ("serve_w8_s32", {"GILL_BENCH": "serve", "GILL_BENCH_W8": "1",
                       "GILL_BENCH_SLOTS": "32",
+                      "GILL_BENCH_NREQ": "192"}, 420),
+    # Same steady-state config with the int8 KV cache (VERDICT r4 #6):
+    # the CAPACITY lever (pool bytes halve -> 2x context or slots in the
+    # same HBM); round-3 measured int8 KV as throughput-neutral-to-slightly-
+    # negative on raw decode, this entry records what it does under the
+    # full scheduler. Quality gate: tests/test_engine.py
+    # test_engine_int8_kv_matches_bf16.
+    ("serve_w8_kv8", {"GILL_BENCH": "serve", "GILL_BENCH_W8": "1",
+                      "GILL_BENCH_KV8": "1", "GILL_BENCH_SLOTS": "32",
                       "GILL_BENCH_NREQ": "192"}, 420),
     # Prefix caching (register_prefix + suffix-only prefills) on the
     # chat-session workload: shared 192-token system prompt, 32-token
@@ -1030,8 +1093,10 @@ def main():
         model = os.environ.get("GILL_BENCH_MODEL", "facebook/opt-2.7b")
         slots = int(os.environ.get("GILL_BENCH_SLOTS", "16"))
         nreq = int(os.environ.get("GILL_BENCH_NREQ", "48"))
-        cont, wave = bench_serve(model, slots, n_requests=nreq)
+        cont, wave, frac = bench_serve(model, slots, n_requests=nreq)
         suffix = "_w8" if os.environ.get("GILL_BENCH_W8", "0") == "1" else ""
+        if os.environ.get("GILL_BENCH_KV8", "0") == "1":
+            suffix += "_kv8"
         if slots != 16:
             suffix += f"_s{slots}"
         print(json.dumps({
@@ -1045,6 +1110,9 @@ def main():
             # reference serves requests one at a time (demo queue
             # concurrency 1) and is orders of magnitude off this scale.
             "vs_baseline": round(cont / wave, 3),
+            # achieved fraction of the weight+KV HBM-bandwidth bound,
+            # from the engine's own traffic counters (_serve_roofline)
+            "roofline_frac": round(frac, 3),
         }))
         return
     if mode == "serve_prefix":
@@ -1091,7 +1159,7 @@ def main():
     if mode == "gill_serve":
         model = os.environ.get("GILL_BENCH_MODEL", "facebook/opt-2.7b")
         slots = int(os.environ.get("GILL_BENCH_SLOTS", "16"))
-        eng_tps, seq_tps = bench_gill_serve(model, slots)
+        eng_tps, seq_tps, frac = bench_gill_serve(model, slots)
         suffix = "_w8" if os.environ.get("GILL_BENCH_W8", "0") == "1" else ""
         print(json.dumps({
             "metric": (f"{model.split('/')[-1]}_gill_serve_tokens_per_sec_"
@@ -1103,6 +1171,7 @@ def main():
             # discipline, demo/app_gradio.py queue concurrency 1, run on
             # our fast path rather than the reference's quadratic loop).
             "vs_baseline": round(eng_tps / seq_tps, 3),
+            "roofline_frac": round(frac, 3),
         }))
         return
     if mode in ("sd", "sd_int8", "sd_dpm"):
@@ -1163,18 +1232,27 @@ def main():
         model = "facebook/opt-1.3b"
         value, baseline = bench_opt_decode(model, batch, prompt_len, gen_len)
 
-    suffix = "_w8" if os.environ.get("GILL_BENCH_W8", "0") == "1" else ""
-    if os.environ.get("GILL_BENCH_KV8", "0") == "1":
+    w8 = os.environ.get("GILL_BENCH_W8", "0") == "1"
+    kv8 = os.environ.get("GILL_BENCH_KV8", "0") == "1"
+    suffix = "_w8" if w8 else ""
+    if kv8:
         suffix += "_kv8"
     if prompt_len != 32 or gen_len != 96:
         suffix += f"_ctx{prompt_len}+{gen_len}"
     if batch != 16:
         suffix += f"_b{batch}"
+    from gill_tpu.config import OPTConfig
+
+    frac = _decode_roofline(OPTConfig.from_name(model), batch,
+                            prompt_len + gen_len // 2, value, w8, kv8)
     print(json.dumps({
         "metric": f"{model.split('/')[-1]}_decode_tokens_per_sec_per_chip{suffix}",
         "value": round(value, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(value / baseline, 3),
+        # achieved fraction of the weight+KV HBM-bandwidth bound at the
+        # mean decode context (_decode_roofline)
+        "roofline_frac": round(frac, 3),
     }))
 
 

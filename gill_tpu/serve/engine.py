@@ -134,16 +134,26 @@ class DecodeEngine:
         self.pad_id = pad_id
         self.unroll = unroll_layers
         self.mesh = mesh
-        assert kv_dtype != jnp.int8, \
-            "int8 KV needs init_cache(kv_int8=True) scale plumbing, which " \
-            "the serving engine does not carry; use bf16"
-        self.cache = opt_mod.init_cache(cfg, slots, max_seq, dtype=kv_dtype)
+        # int8 KV: per-token-per-head fp32 scales ride along as "ks"/"vs"
+        # cache arrays (models/opt.py init_cache) — the capacity lever that
+        # roughly halves KV bytes per slot, so a pool can hold 2x the
+        # context (or slots) in the same HBM. Supported on the prefill
+        # (static cache_pos=0) and deferred decode paths; prefix caching
+        # and mesh sharding stay bf16-only.
+        self._kv8 = kv_dtype == jnp.int8
+        self.cache = opt_mod.init_cache(
+            cfg, slots, max_seq,
+            dtype=jnp.bfloat16 if self._kv8 else kv_dtype,
+            kv_int8=self._kv8)
         if mesh is not None:
             # Tensor-parallel serving: Megatron specs shard the LM matrices
             # over "model" (parallel/partition.py) and the KV cache shards
             # by heads; GSPMD inserts the per-layer psums. bf16 weights
             # only — the Pallas W8 kernel is a single-chip path (custom
             # calls are not GSPMD-partitionable).
+            assert not self._kv8, \
+                "int8 KV is a single-chip capacity mode; mesh serving " \
+                "shards the bf16 cache by heads"
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from gill_tpu.parallel.partition import param_shardings
@@ -223,7 +233,7 @@ class DecodeEngine:
 
     @functools.cached_property
     def _prefill_fn(self):
-        cfg = self.cfg
+        cfg, kv8 = self.cfg, self._kv8
 
         @functools.partial(jax.jit, static_argnames=("plen", "nreq"),
                            donate_argnums=(1, 2))
@@ -238,7 +248,9 @@ class DecodeEngine:
             del plen, nreq
             emb = opt_mod.embed_tokens(params, tokens)          # (R, P, E)
             small = opt_mod.init_cache(cfg, tokens.shape[0], tokens.shape[1],
-                                       dtype=cache["k"].dtype)
+                                       dtype=jnp.bfloat16
+                                       if kv8 else cache["k"].dtype,
+                                       kv_int8=kv8)
             # scan-over-layers: prefill is compute-bound (M = R * bucket),
             # and the unrolled W8 path would materialize per-layer weight
             # slices at M > 256 (nn.linear falls back to dequant there)
@@ -286,6 +298,11 @@ class DecodeEngine:
         length, so each distinct registered length compiles one program
         variant per (suffix bucket, wave size) on first use."""
         tokens = [int(t) for t in tokens]
+        if self._kv8:
+            raise ValueError(
+                "prefix caching needs a bf16 KV cache (the static-offset "
+                "suffix prefill has no int8 path — models/opt.py _layer); "
+                "build the engine with kv_dtype=bfloat16")
         if not 1 <= len(tokens) < self.max_seq:
             raise ValueError(f"prefix length {len(tokens)} must be in "
                              f"[1, max_seq={self.max_seq})")

@@ -204,6 +204,47 @@ def test_rotation_refreshes_every_entry_within_three_runs(
     assert not (set(per_run[0][2:]) & set(per_run[1][2:]))
 
 
+def _tiny_cfg():
+    from gill_tpu.config import OPTConfig
+
+    return OPTConfig(num_layers=2, hidden_size=64, ffn_dim=128, num_heads=4,
+                     vocab_size=100, max_positions=64,
+                     word_embed_proj_dim=64)
+
+
+def test_roofline_traffic_model():
+    """VERDICT r4 #5: the weight+KV bytes-per-step model behind the
+    roofline_frac fields, checked against hand arithmetic."""
+    cfg = _tiny_cfg()
+    w, kvr = bench._opt_stream_bytes(cfg, w8=False)
+    assert w == 2 * (4 * 64 * 64 + 2 * 64 * 128) * 2 + 100 * 64 * 2
+    assert kvr == 2 * 2 * 64 * 2
+    w8b, kvr8 = bench._opt_stream_bytes(cfg, w8=True, kv8=True)
+    assert w8b == 2 * (4 * 64 * 64 + 2 * 64 * 128) + 100 * 64 * 2
+    assert kvr8 == kvr // 2
+    # a decode running exactly at the bandwidth bound reads frac == 1
+    bytes_step = w + 4 * 10 * kvr
+    bound_steps_s = bench._HBM_BYTES_PER_S / bytes_step
+    assert bench._decode_roofline(
+        cfg, 4, 10, 4 * bound_steps_s, w8=False) == pytest.approx(1.0)
+
+
+def test_serve_roofline_uses_stat_deltas():
+    """_serve_roofline must count only the timed region's traffic (the
+    engine's counters also accumulate warmup work)."""
+    cfg = _tiny_cfg()
+
+    class Eng:
+        chunk, slots = 4, 2
+        stats = {"decode_steps": 12, "kv_rows_read": 96, "prefills": 3}
+
+    before = {"decode_steps": 4, "kv_rows_read": 32, "prefills": 1}
+    w, kvr = bench._opt_stream_bytes(cfg, w8=False)
+    traffic = 8 * w + 64 * 4 * 2 * kvr + 2 * w
+    frac = bench._serve_roofline(Eng(), cfg, before, 2.0, w8=False)
+    assert frac == pytest.approx(traffic / (2.0 * bench._HBM_BYTES_PER_S))
+
+
 def test_plan_order_prefers_failed_and_unstamped():
     by_name = {
         "sd": {"value": 1, "stamp": "2026-01-05T00:00:00Z"},

@@ -420,3 +420,90 @@ def test_engine_budget_freeze_bounds_kv_window(tiny):
     # smaller than its depth: total rows < chunks * 64 AND at least one
     # chunk at the smallest bucket that covers the shallow stream
     assert eng.stats["kv_rows_read"] < eng.stats["chunks"] * 64, eng.stats
+
+
+def _reference_greedy_kv8(params, cfg, prompt, n_new):
+    """Single-request KV-cached greedy decode on an int8 cache — the
+    quantization-matched counterfactual for the int8 engine test."""
+    cache = opt_mod.init_cache(cfg, 1, 256, kv_int8=True)
+    emb = opt_mod.embed_tokens(params, jnp.asarray([prompt], jnp.int32))
+    out = opt_mod.forward(params, cfg, emb, cache=cache, cache_pos=0)
+    tok = int(jnp.argmax(out["logits"][0, len(prompt) - 1]))
+    cache = out["cache"]
+    gen = [tok]
+    pos = len(prompt)
+    for _ in range(n_new - 1):
+        emb = opt_mod.embed_tokens(params, jnp.asarray([[tok]], jnp.int32))
+        out = opt_mod.forward(params, cfg, emb, cache=cache,
+                              cache_pos=jnp.asarray(pos))
+        cache = out["cache"]
+        tok = int(jnp.argmax(out["logits"][0, -1]))
+        gen.append(tok)
+        pos += 1
+    return gen
+
+
+def test_engine_int8_kv_quality_gate(tiny):
+    """int8 KV serving (kv_dtype=int8: per-token-per-head scales ride as
+    "ks"/"vs" cache arrays) is a CAPACITY mode — pool bytes ~halve. Gate
+    1: the engine's packing/refill machinery must be invisible — tokens
+    identical to a single-request int8 decode on a mixed trace hitting
+    both the bucketed prefill and the deferred-write decode quantization.
+    Gate 2: teacher-forced logit drift vs the fp32 cache stays small (the
+    perplexity-style quality guard; exact token parity across precisions
+    is not meaningful on a tiny random model where argmax gaps are ~0).
+    Prefix caching has no int8 path and must be refused."""
+    params, cfg = tiny
+    rng = np.random.RandomState(21)
+    reqs = [ServeRequest(uid=i,
+                         prompt=rng.randint(2, 120,
+                                            size=int(rng.randint(3, 20))
+                                            ).tolist(),
+                         max_new_tokens=int(rng.randint(2, 12)))
+            for i in range(7)]
+
+    q_eng = DecodeEngine(params, cfg, slots=3, max_seq=64, chunk=4,
+                         prefill_buckets=(8, 32), unroll_layers=False,
+                         kv_dtype=jnp.int8)
+    got = q_eng.run([ServeRequest(uid=r.uid, prompt=r.prompt,
+                                  max_new_tokens=r.max_new_tokens)
+                     for r in reqs])
+    assert set(q_eng.cache) == {"k", "v", "ks", "vs"}
+    assert q_eng.cache["k"].dtype == jnp.int8
+    # pool bytes: int8/bf16 ratio = (1 + 4/head_dim)/2 — 0.625 at this
+    # tiny head_dim=16, ~0.52 at opt-2.7b/6.7b's head_dim=80/128
+    bf16_bytes = 2 * q_eng.cache["k"].size * 2
+    int8_bytes = (2 * q_eng.cache["k"].size
+                  + 2 * q_eng.cache["ks"].size * 4)
+    assert int8_bytes == pytest.approx(
+        bf16_bytes * (1 + 4 / cfg.head_dim) / 2)
+    for r in reqs:
+        want = _reference_greedy_kv8(params, cfg, r.prompt,
+                                     r.max_new_tokens)
+        assert got[r.uid] == want, f"req {r.uid}"
+
+    # gate 2: teacher-forced decode logits, fp32 cache vs int8 cache
+    prompt = reqs[0].prompt
+    forced = got[reqs[0].uid]
+    drifts = []
+    for kv8 in (False, True):
+        cache = opt_mod.init_cache(cfg, 1, 64, dtype=jnp.float32,
+                                   kv_int8=kv8)
+        emb = opt_mod.embed_tokens(params, jnp.asarray([prompt], jnp.int32))
+        out = opt_mod.forward(params, cfg, emb, cache=cache, cache_pos=0)
+        logits = [out["logits"][0, len(prompt) - 1]]
+        cache, pos = out["cache"], len(prompt)
+        for tok in forced[:-1]:
+            emb = opt_mod.embed_tokens(params,
+                                       jnp.asarray([[tok]], jnp.int32))
+            out = opt_mod.forward(params, cfg, emb, cache=cache,
+                                  cache_pos=jnp.asarray(pos))
+            cache, pos = out["cache"], pos + 1
+            logits.append(out["logits"][0, -1])
+        drifts.append(jnp.stack(logits))
+    rel = float(jnp.linalg.norm(drifts[1] - drifts[0])
+                / jnp.linalg.norm(drifts[0]))
+    assert rel < 0.02, rel
+
+    with pytest.raises(ValueError, match="bf16 KV"):
+        q_eng.register_prefix([5, 6, 7])

@@ -185,16 +185,16 @@ def embed_tokens(params, ids):
     return params["embed_tokens"]["weight"][ids]
 
 
-def _layer(cfg: OPTConfig, lp, h, kv_offset=None, cache_kv=None, cache_pos=None,
-           kv_read_limit: Optional[int] = None):
+def _layer(cfg: OPTConfig, lp, h, kv_offset=None, cache_kv=None, cache_pos=None):
     """One decoder layer. Returns (h, (k, v)) where k/v are this layer's new
     key/value tensors (full seq when cache_kv is None, else updated cache).
 
-    kv_read_limit: static row count — the deferred decode path reads only
-    cache rows [0, kv_read_limit) (the caller guarantees every slot's
-    cache_pos <= kv_read_limit). The serving engine compiles one chunk
-    variant per limit bucket so decode KV traffic tracks the actual
-    context depth instead of the provisioned max_seq."""
+    KV read-window bucketing note: the serving engines bound decode KV
+    traffic by slicing the cache POOL once per chunk and passing the small
+    window here as `cache_kv` (serve/engine.py _kv_window) — an earlier
+    in-layer read slice broke XLA's in-place aliasing of the scan-carried
+    cache and double-buffered the full pool (compile-time OOM at
+    max_seq >= 1024)."""
     b, t, d = h.shape
     hd = cfg.head_dim
     pre_ln = cfg.do_layer_norm_before
@@ -218,17 +218,6 @@ def _layer(cfg: OPTConfig, lp, h, kv_offset=None, cache_kv=None, cache_pos=None,
             # (3.3 ms/step at opt-2.7b batch 16).
             scales = (cache_kv[2], cache_kv[3]) if kv8 else None
             rck, rcv = ck, cv
-            if kv_read_limit is not None and kv_read_limit < ck.shape[1]:
-                # Static read window: attention touches only the rows that
-                # can hold valid keys. The deferred write below still
-                # targets the full cache, so this changes HBM read traffic
-                # only (the masked output is bitwise identical as long as
-                # all cache_pos <= kv_read_limit).
-                rck = ck[:, :kv_read_limit]
-                rcv = cv[:, :kv_read_limit]
-                if scales is not None:
-                    scales = (scales[0][:, :kv_read_limit],
-                              scales[1][:, :kv_read_limit])
             attn = dot_product_attention(q, rck, rcv, causal=True,
                                          kv_offset=cache_pos - 1,
                                          extra_kv=(k, v), kv_scales=scales)
@@ -315,7 +304,7 @@ def _layer_view(layers, i: int):
 def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
             collect_hidden: bool = False, cache=None, cache_pos=None,
             remat: bool = False, lm_head=None, unroll_layers: bool = False,
-            skip_logits: bool = False, kv_read_limit: Optional[int] = None):
+            skip_logits: bool = False):
     """Decoder forward from input embeddings.
 
     Args:
@@ -325,10 +314,9 @@ def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
         (index 0 = embeddings; mirrors HF output_hidden_states).
       cache: optional KV cache dict {"k","v"} with leaves (L, B, S, H, Dh);
         when given, inputs are written at cache_pos and attention spans the
-        cache prefix.
+        cache prefix. The serving engines pass a row-window SLICE of their
+        pool here to bound decode KV traffic (serve/engine.py _kv_window).
       remat: rematerialize each layer (training memory saver).
-      kv_read_limit: static cache-row read window for the deferred decode
-        path (see _layer) — requires all cache_pos <= kv_read_limit.
 
     Returns dict with "logits" (B, T, vocab) fp32, "last_hidden" (B, T, E),
     optionally "hidden_states", and "cache" (updated) if cache was passed.
@@ -400,8 +388,7 @@ def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
                 lp = _layer_view(params["layers"], i)
                 h, nkv = _layer(cfg, lp, h,
                                 cache_kv=tuple(cache[k][i] for k in ckeys),
-                                cache_pos=cache_pos,
-                                kv_read_limit=kv_read_limit)
+                                cache_pos=cache_pos)
                 hs_list.append(h)
                 for lst, n in zip(news, nkv):
                     lst.append(n)
@@ -411,8 +398,7 @@ def forward(params, cfg: OPTConfig, inputs_embeds, *, positions=None,
             def body(h, xs):
                 lp = xs[0]
                 h, nkv = _layer(cfg, lp, h, cache_kv=xs[1:],
-                                cache_pos=cache_pos,
-                                kv_read_limit=kv_read_limit)
+                                cache_pos=cache_pos)
                 return h, (h,) + nkv
 
             h, ys = jax.lax.scan(

@@ -93,6 +93,28 @@ def _bucket(n: int, buckets) -> int:
     raise ValueError(f"prompt length {n} exceeds largest bucket {buckets[-1]}")
 
 
+def _kv_window(cache, kv_hi: int):
+    """Rows [0, kv_hi) of every KV-cache leaf (seq axis 2). The chunk
+    programs slice ONCE at entry and carry the small window through their
+    decode scan: slicing per-layer inside the scan body defeats XLA's
+    in-place aliasing of the cache carry, double-buffering the FULL pool —
+    a measured compile-time OOM (19.75 GB planned vs 15.75 GB HBM) at
+    max_seq >= 1024 on opt-2.7b/16 slots. The entry slice costs one
+    window-sized copy per chunk, amortized over `chunk` decode steps that
+    each SAVE (max_seq - kv_hi) cache rows of read traffic per slot."""
+    return {k: jax.lax.slice_in_dim(v, 0, kv_hi, axis=2)
+            for k, v in cache.items()}
+
+
+def _kv_window_merge(cache, win):
+    """Write a chunk-updated window back over the pool's rows [0, kv_hi).
+    One contiguous update-slice per cache leaf: the pool enters donated,
+    so XLA updates it in place."""
+    return {k: jax.lax.dynamic_update_slice_in_dim(cache[k], win[k], 0,
+                                                   axis=2)
+            for k in cache}
+
+
 class DecodeEngine:
     """Slot-based continuous batching over one OPT param pytree.
 
@@ -458,16 +480,24 @@ class DecodeEngine:
         @functools.partial(jax.jit, static_argnames=("kv_hi",),
                            donate_argnums=(1, 2))
         def run_chunk(params, cache, state, *, kv_hi):
+            # KV read window: decode over a [0, kv_hi) slice of the pool
+            # (carried through the scan in place of the full cache — see
+            # _kv_window) so per-step KV traffic follows the actual context
+            # depth, not the provisioned max_seq. Out-of-window scatter
+            # rows (parked slots frozen deeper than kv_hi) drop harmlessly
+            # (mode="drop" in models/opt.py assemble).
+            windowed = kv_hi < max_seq
+            win = _kv_window(cache, kv_hi) if windowed else cache
+
             def step(carry, _):
-                cache, pos, tok, active, limit = carry
+                win, pos, tok, active, limit = carry
                 # budget freeze: a slot whose token budget is exhausted
                 # (pos reached limit) stops advancing, so until refill it
                 # neither inflates the KV read window nor decodes garbage
                 act = active & (pos < limit)
                 emb = opt_mod.embed_tokens(params, tok[:, None])
-                out = opt_mod.forward(params, cfg, emb, cache=cache,
-                                      cache_pos=pos, unroll_layers=unroll,
-                                      kv_read_limit=kv_hi)
+                out = opt_mod.forward(params, cfg, emb, cache=win,
+                                      cache_pos=pos, unroll_layers=unroll)
                 nxt = jnp.argmax(out["logits"][:, -1], axis=-1) \
                          .astype(jnp.int32)
                 nxt = jnp.where(act, nxt, pad_id)
@@ -482,10 +512,11 @@ class DecodeEngine:
                 return (out["cache"], pos, nxt, new_active, limit), nxt
 
             entry_tok = state["tok"]
-            (cache, pos, tok, active, limit), toks = jax.lax.scan(
-                step, (cache, state["pos"], state["tok"], state["active"],
+            (win, pos, tok, active, limit), toks = jax.lax.scan(
+                step, (win, state["pos"], state["tok"], state["active"],
                        state["limit"]),
                 None, length=steps)
+            cache = _kv_window_merge(cache, win) if windowed else win
             # Row 0 = the ENTRY tokens: for a slot just refilled this is the
             # prefill's first generated token, so the host learns it from
             # this one transfer instead of a per-prefill sync (measured
@@ -659,6 +690,12 @@ class DecodeEngine:
             if done:
                 self._finished.append((st.uid, st.generated))
                 self._state[s] = None
+                # retired slot: its position no longer bounds the KV read
+                # window (the device keeps the slot frozen at its limit;
+                # out-of-window writes drop), so shrink the window bound
+                # now instead of waiting for the next refill
+                self._shadow[s] = 0
+                self._cap[s] = 0
 
     def _drain(self, results):
         for uid, gen in self._finished:
@@ -749,6 +786,9 @@ class DecodeEngine:
                     if st is not None and (st.done
                                            or st.planned >= st.max_new):
                         self._state[s] = None
+                        self._shadow[s] = 0      # see _collect: retired
+                        self._cap[s] = 0         # slots stop bounding the
+                                                 # KV read window
                 self._refill(queue)
                 active = [s for s in range(self.slots)
                           if self._state[s] is not None]

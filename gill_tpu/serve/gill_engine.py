@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gill_tpu.models import opt as opt_mod
-from gill_tpu.serve.engine import _bucket
+from gill_tpu.serve.engine import _bucket, _kv_window, _kv_window_merge
 
 
 @dataclass
@@ -544,15 +544,20 @@ class GillDecodeEngine:
             head = params["embed_tokens"]["weight"]
             B = state["tok"].shape[0]
             rows = jnp.arange(B)
+            # KV read window: decode over a [0, kv_hi) slice of the pool,
+            # carried through the scan in place of the full cache (see
+            # engine._kv_window: an in-scan slice double-buffers the full
+            # pool and OOMs compilation at deep max_seq).
+            windowed = kv_hi < max_seq
+            win = _kv_window(cache, kv_hi) if windowed else cache
 
             def step(carry, _):
-                cache, pos, tok, iter_c, force, valid, tap, run = carry
+                win, pos, tok, iter_c, force, valid, tap, run = carry
                 emb = opt_mod.embed_tokens(params, tok[:, None])
-                out = opt_mod.forward(params, cfg, emb, cache=cache,
+                out = opt_mod.forward(params, cfg, emb, cache=win,
                                       cache_pos=pos, lm_head=head,
                                       collect_hidden=not final_tap,
-                                      unroll_layers=unroll,
-                                      kv_read_limit=kv_hi)
+                                      unroll_layers=unroll)
                 if final_tap:
                     hidden = out["last_hidden"][:, 0]
                 else:
@@ -602,13 +607,14 @@ class GillDecodeEngine:
             carry_topp = state["topp"]
             carry_seed = state["seed"]
             entry_tok, entry_valid = state["tok"], state["valid"]
-            (cache, pos, tok, iter_c, force, valid, tap, run), \
+            (win, pos, tok, iter_c, force, valid, tap, run), \
                 (toks, valids) = jax.lax.scan(
                     step,
-                    (cache, state["pos"], state["tok"], state["iter"],
+                    (win, state["pos"], state["tok"], state["iter"],
                      state["force"], state["valid"], tap_state["tap"],
                      tap_state["run"]),
                     None, length=steps)
+            cache = _kv_window_merge(cache, win) if windowed else win
             toks = jnp.concatenate([entry_tok[None], toks], axis=0)
             valids = jnp.concatenate([entry_valid[None], valids], axis=0)
             state = {"pos": pos, "tok": tok, "iter": iter_c, "force": force,
@@ -826,6 +832,8 @@ class GillDecodeEngine:
                 st = self._state[s]
                 if st is not None and st.planned >= st.budget:
                     self._state[s] = None
+                    self._shadow[s] = 0      # retired slots stop bounding
+                    self._cap[s] = 0         # the KV read window
             self._refill(queue)
             active = [s for s in range(self.slots)
                       if self._state[s] is not None]

@@ -1,8 +1,10 @@
 """KV read-window bucketing in the serving engines (serve/engine.py
-_run_chunk + models/opt.py kv_read_limit): the decode chunk compiles one
-variant per window bucket and the scheduler dispatches the smallest window
-covering every slot's position bound, so decode KV traffic follows the
-ACTUAL context depth instead of the provisioned max_seq.
+_kv_window / run_chunk): the decode chunk slices the cache pool to rows
+[0, kv_hi) once at entry, carries the small window through the decode scan,
+and merges it back; one chunk variant compiles per window bucket and the
+scheduler dispatches the smallest window covering every slot's position
+bound, so decode KV traffic follows the ACTUAL context depth instead of the
+provisioned max_seq.
 
 The claim to measure is provisioning-independence: a pool built with
 max_seq 2048 for occasional long requests, serving the ordinary bench trace
@@ -25,6 +27,13 @@ import json, os, sys, time
 sys.path.insert(0, ".")
 import numpy as np
 import jax
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("GILL_JAX_CACHE",
+                                     "/root/.cache/jax_compilation"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 import jax.numpy as jnp
 from gill_tpu.config import OPTConfig
 from gill_tpu.models import opt as opt_mod
@@ -33,6 +42,11 @@ from gill_tpu.serve.engine import DecodeEngine, ServeRequest
 mode = sys.argv[1]
 max_seq = int(sys.argv[2])
 buckets = "auto" if sys.argv[3] == "on" else None
+# int8 KV pool: at max_seq 2048 x 16 slots the bf16 pool alone is 10.7 GB
+# (32L x 16 x 2048 x 2560 x 2 x 2B) -- with 2.7 GB W8 weights + program
+# temps it cannot be buffer-assigned on a 15.75 GB chip (measured OOM), so
+# the deep-pool config only exists with the int8 KV capacity lever.
+kv8 = os.environ.get("PROBE_KV8", "0") == "1"
 
 if mode == "tiny":
     cfg = OPTConfig(vocab_size=512, hidden_size=1024, num_layers=4,
@@ -91,7 +105,8 @@ else:
             for i in range(48)]
     eng = DecodeEngine(params, cfg, slots=16, max_seq=max_seq, chunk=32,
                        prefill_buckets=(64, 128, 256), unroll_layers=True,
-                       kv_read_buckets=buckets)
+                       kv_read_buckets=buckets,
+                       kv_dtype=jnp.int8 if kv8 else jnp.bfloat16)
     eng.warmup()
     eng.run([ServeRequest(uid=0, prompt=[5] * p, max_new_tokens=4)
              for p in (20, 100, 200)])
@@ -132,16 +147,36 @@ def main():
         print(json.dumps({"tiny_token_match": report["tiny_token_match"]}),
               flush=True)
     if phase in ("perf", "all") and report.get("tiny_token_match", True):
-        for max_seq in (512, 1024, 2048):
+        seqs = tuple(int(s) for s in os.environ.get(
+            "PROBE_SEQS", "512,1024,2048").split(","))
+        kv8 = os.environ.get("PROBE_KV8", "0") == "1"
+        for max_seq in seqs:
             ent = {}
             for gate in ("off", "on"):
-                r = run("serve27", max_seq, gate)
+                # a gate variant can be INFEASIBLE on its own (the full-read
+                # chunk at max_seq 2048 OOMs compilation: XLA keeps the pool
+                # argument compact but materializes padded head_dim-80->128
+                # copies of the whole carried cache in the decode loop;
+                # the windowed variant only pads the window) — record the
+                # failure and keep measuring the other gate
+                try:
+                    r = run("serve27", max_seq, gate)
+                except RuntimeError as e:
+                    msg = str(e)
+                    ent[f"{gate}_tok_s"] = ("oom" if "hbm" in msg
+                                            or "emory" in msg else "failed")
+                    print(json.dumps({f"s{max_seq}_{gate}": ent[
+                        f"{gate}_tok_s"]}), flush=True)
+                    continue
                 ent[f"{gate}_tok_s"] = round(r["tok_per_s"], 1)
                 if gate == "on":
                     ent["window_frac"] = r["mean_window_frac"]
                 print(json.dumps({f"s{max_seq}_{gate}": r}), flush=True)
-            ent["speedup"] = round(ent["on_tok_s"] / ent["off_tok_s"], 3)
-            report[f"serve27_seq{max_seq}"] = ent
+            if isinstance(ent.get("off_tok_s"), float) and \
+                    isinstance(ent.get("on_tok_s"), float):
+                ent["speedup"] = round(ent["on_tok_s"] / ent["off_tok_s"], 3)
+            key = f"serve27_seq{max_seq}" + ("_kv8" if kv8 else "")
+            report[key] = ent
             with open("KV_WINDOW_PROBE.json", "w") as f:
                 json.dump(report, f, indent=1)
     with open("KV_WINDOW_PROBE.json", "w") as f:

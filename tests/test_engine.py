@@ -422,6 +422,32 @@ def test_engine_budget_freeze_bounds_kv_window(tiny):
     assert eng.stats["kv_rows_read"] < eng.stats["chunks"] * 64, eng.stats
 
 
+def test_engine_int8_kv_with_read_buckets_match_full_read(tiny):
+    """The deep-pool production config composes BOTH serving KV levers:
+    int8 KV (capacity — the bf16 pool at max_seq 2048 x 16 slots is 10.7 GB
+    and cannot be buffer-assigned next to the W8 weights on a 16 GB chip)
+    and read-window bucketing (throughput — decode reads track actual
+    depth). The composition must stay invisible in the tokens: int8+buckets
+    == int8 full-read, and the scales ("ks"/"vs") window with the cache."""
+    params, cfg = tiny
+    rng = np.random.RandomState(29)
+    reqs = [ServeRequest(uid=i,
+                         prompt=rng.randint(2, 120,
+                                            size=int(rng.randint(3, 20))
+                                            ).tolist(),
+                         max_new_tokens=int(rng.randint(2, 14)))
+            for i in range(9)]
+    kw = dict(slots=3, max_seq=64, chunk=4, prefill_buckets=(8, 16, 32),
+              unroll_layers=False, kv_dtype=jnp.int8)
+    full = DecodeEngine(params, cfg, kv_read_buckets=None, **kw)
+    bkt = DecodeEngine(params, cfg, kv_read_buckets=(16, 32, 48), **kw)
+    want = full.run_pipelined(list(reqs))
+    got = bkt.run_pipelined(list(reqs))
+    assert got == want
+    assert bkt.stats["kv_rows_read"] < bkt.stats["chunks"] * bkt.max_seq, \
+        bkt.stats
+
+
 def _reference_greedy_kv8(params, cfg, prompt, n_new):
     """Single-request KV-cached greedy decode on an int8 cache — the
     quantization-matched counterfactual for the int8 engine test."""

@@ -248,11 +248,16 @@ def test_layer_view_w8_stacked_forward():
                                atol=1e-5)
 
 
-def test_forward_kv_read_limit_matches_full_read():
-    """kv_read_limit statically narrows the deferred-decode cache read; as
-    long as every slot's cache_pos <= limit the logits match to float
-    tolerance (the same masked reduction over fewer rows)."""
+def test_forward_kv_window_slice_matches_full_read():
+    """The serving engines bound decode KV traffic by slicing the cache pool
+    to rows [0, kv_hi) BEFORE forward and merging the updated window back
+    after (serve/engine.py _kv_window/_kv_window_merge — an in-layer read
+    slice double-buffered the full pool and OOM'd compilation at deep
+    max_seq). As long as every slot's cache_pos < kv_hi, the windowed
+    forward's logits and merged cache match the full-cache forward."""
     import numpy as np
+
+    from gill_tpu.serve.engine import _kv_window, _kv_window_merge
 
     cfg = OPTConfig(num_layers=2, hidden_size=64, ffn_dim=128, num_heads=4,
                     vocab_size=96, max_positions=128, word_embed_proj_dim=64)
@@ -265,15 +270,18 @@ def test_forward_kv_read_limit_matches_full_read():
     pos = jnp.asarray([5, 17, 30], jnp.int32)
     emb = opt_mod.embed_tokens(params, jnp.asarray([[7], [9], [11]], jnp.int32))
     full = opt_mod.forward(params, cfg, emb, cache=cache, cache_pos=pos)
-    lim = opt_mod.forward(params, cfg, emb, cache=cache, cache_pos=pos,
-                      kv_read_limit=32)
-    np.testing.assert_allclose(np.asarray(lim["logits"]),
+    win = opt_mod.forward(params, cfg, emb, cache=_kv_window(cache, 32),
+                          cache_pos=pos)
+    np.testing.assert_allclose(np.asarray(win["logits"]),
                                np.asarray(full["logits"]),
                                atol=1e-5, rtol=1e-5)
-    # the deferred write must still land in the FULL cache (tolerance:
-    # the narrower attention reduce perturbs layer-2 inputs by an ulp)
+    # the merged pool must carry the deferred writes at each slot's pos and
+    # leave rows beyond the window untouched
+    merged = _kv_window_merge(cache, win["cache"])
     for key in ("k", "v"):
         np.testing.assert_allclose(
-            np.asarray(lim["cache"][key][:, jnp.arange(3), pos]),
+            np.asarray(merged[key][:, jnp.arange(3), pos]),
             np.asarray(full["cache"][key][:, jnp.arange(3), pos]),
             atol=1e-5, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(merged[key][:, :, 32:]),
+                                      np.asarray(cache[key][:, :, 32:]))

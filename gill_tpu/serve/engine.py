@@ -167,6 +167,22 @@ class DecodeEngine:
             cfg, slots, max_seq,
             dtype=jnp.bfloat16 if self._kv8 else kv_dtype,
             kv_int8=self._kv8)
+        # KV pool physical layout: left to XLA ("auto"). On TPU it stores
+        # the pool COMPACT between dispatches (S-minor, no head_dim
+        # padding) but the chunk/prefill loop bodies want the scatter-
+        # preferred row-major PADDED form (head_dim 80 -> lane 128, 1.6x),
+        # so every chunk round-trips the pool through compact->padded->
+        # compact copies, and at deep pools the padded temps OOM
+        # compilation (max_seq 2048 x 16 slots int8 needs 16.9 of
+        # 15.75 GB — 8 GB of it two padded pool copies). Pinning the pool
+        # row-major on the program boundaries (jax.experimental.layout
+        # Format in jit in_/out_shardings) removes the copies (temps -> 0
+        # on a mock chunk) but was a MEASURED serving regression — 524
+        # tok/s with None (replicated) for the other operands (strips the
+        # compiler's W8 weight-stream layouts), 39 tok/s with UNSPECIFIED
+        # markers (breaks donation: per-chunk host round-trips), vs 808
+        # auto on the same trace (opt-2.7b W8, 16 slots). Deep pools
+        # therefore trade SLOTS, not layout; see ROADMAP round 5.
         if mesh is not None:
             # Tensor-parallel serving: Megatron specs shard the LM matrices
             # over "model" (parallel/partition.py) and the KV cache shards
@@ -236,10 +252,10 @@ class DecodeEngine:
                         jnp.ones((nreq,), jnp.int32),
                         jnp.full((nreq,), self.slots, jnp.int32),
                         jnp.ones((nreq,), jnp.int32),
-                        plen=pb, nreq=nreq)
+                        pb, nreq)
             for kv_hi in self.kv_buckets:
                 self.cache, self._dstate, toks = self._chunk_fn(
-                    self.params, self.cache, self._dstate, kv_hi=kv_hi)
+                    self.params, self.cache, self._dstate, kv_hi)
             jax.block_until_ready(toks)
 
     def _fresh_state(self):
@@ -257,10 +273,10 @@ class DecodeEngine:
     def _prefill_fn(self):
         cfg, kv8 = self.cfg, self._kv8
 
-        @functools.partial(jax.jit, static_argnames=("plen", "nreq"),
+        @functools.partial(jax.jit, static_argnums=(7, 8),
                            donate_argnums=(1, 2))
         def prefill(params, cache, state, tokens, true_len, slot_ids,
-                    limits, *, plen, nreq):
+                    limits, plen, nreq):
             # Batched prefill: tokens (R, P), true_len (R,), slot_ids (R,).
             # One program launch plants R prompts into R slots — the weight
             # stream (the W8 dequant fallback reads the full LM once per
@@ -422,10 +438,10 @@ class DecodeEngine:
     def _prefix_prefill_fn(self):
         cfg = self.cfg
 
-        @functools.partial(jax.jit, static_argnames=("pfx", "plen", "nreq"),
+        @functools.partial(jax.jit, static_argnums=(9, 10, 11),
                            donate_argnums=(1, 2))
         def prefill(params, cache, state, pk, pv, tokens, true_len,
-                    slot_ids, limits, *, pfx, plen, nreq):
+                    slot_ids, limits, pfx, plen, nreq):
             # Suffix prefill at static offset pfx: tokens (R, P) are the
             # SUFFIX ids; pk/pv (L, 1, pfx, H, Dh) are the shared prefix's
             # cached KV rows, broadcast across the wave. models/opt.py's
@@ -477,9 +493,9 @@ class DecodeEngine:
         pad_id, max_seq = self.pad_id, self.max_seq
         eos, steps = self.eos_id, self.chunk
 
-        @functools.partial(jax.jit, static_argnames=("kv_hi",),
+        @functools.partial(jax.jit, static_argnums=(3,),
                            donate_argnums=(1, 2))
-        def run_chunk(params, cache, state, *, kv_hi):
+        def run_chunk(params, cache, state, kv_hi):
             # KV read window: decode over a [0, kv_hi) slice of the pool
             # (carried through the scan in place of the full cache — see
             # _kv_window) so per-step KV traffic follows the actual context
@@ -543,7 +559,7 @@ class DecodeEngine:
         else:
             kv_hi = self.max_seq
         self.cache, self._dstate, toks = self._chunk_fn(
-            self.params, self.cache, self._dstate, kv_hi=kv_hi)
+            self.params, self.cache, self._dstate, kv_hi)
         self.stats["chunks"] += 1
         self.stats["decode_steps"] += self.chunk
         self.stats["kv_rows_read"] += kv_hi
@@ -632,7 +648,7 @@ class DecodeEngine:
         self.cache, self._dstate, _ = self._prefill_fn(
             self.params, self.cache, self._dstate, jnp.asarray(toks),
             jnp.asarray(lens), jnp.asarray(slot_ids), jnp.asarray(limits),
-            plen=pb, nreq=nreq)
+            pb, nreq)
         self.stats["prefills"] += 1
         self.stats["prefill_reqs"] = (self.stats.get("prefill_reqs", 0)
                                       + len(grp))
@@ -658,7 +674,7 @@ class DecodeEngine:
         self.cache, self._dstate, _ = self._prefix_prefill_fn(
             self.params, self.cache, self._dstate, pfx["k"], pfx["v"],
             jnp.asarray(toks), jnp.asarray(lens), jnp.asarray(slot_ids),
-            jnp.asarray(limits), pfx=n_pfx, plen=pb, nreq=nreq)
+            jnp.asarray(limits), n_pfx, pb, nreq)
         self.stats["prefills"] += 1
         self.stats["prefill_reqs"] = (self.stats.get("prefill_reqs", 0)
                                       + len(grp))

@@ -233,10 +233,10 @@ class GillDecodeEngine:
                         z, i32, jnp.full((nreq,), self.slots, jnp.int32),
                         i32, jnp.zeros((nreq,), jnp.int32), f32,
                         jnp.zeros((nreq,), jnp.float32), f32,
-                        jnp.zeros((nreq,), jnp.int32), plen=pb, nreq=nreq)
+                        jnp.zeros((nreq,), jnp.int32), pb, nreq)
             for kv_hi in self.kv_buckets:
                 out = self._chunk_fn(self.params, self.cache, self._dstate,
-                                     self._dtap, kv_hi=kv_hi)
+                                     self._dtap, kv_hi)
                 self.cache, self._dstate, self._dtap = out[0], out[1], out[2]
             jax.block_until_ready(out[3])
 
@@ -278,10 +278,10 @@ class GillDecodeEngine:
     def _prefill_fn(self):
         cfg, nt, img0 = self.cfg, self.nt, self.img0
 
-        @functools.partial(jax.jit, static_argnames=("plen", "nreq"),
+        @functools.partial(jax.jit, static_argnums=(13, 14),
                            donate_argnums=(1, 2))
         def prefill(params, cache, state, tap_state, embs, true_len,
-                    slot_ids, nw, mw, scale, temp, topp, seed, *,
+                    slot_ids, nw, mw, scale, temp, topp, seed,
                     plen, nreq):
             del plen, nreq
             small = opt_mod.init_cache(cfg, embs.shape[0], embs.shape[1],
@@ -463,10 +463,10 @@ class GillDecodeEngine:
     def _prefill_prefix_fn(self):
         cfg, nt, img0 = self.cfg, self.nt, self.img0
 
-        @functools.partial(jax.jit, static_argnames=("pfx", "plen", "nreq"),
+        @functools.partial(jax.jit, static_argnums=(15, 16, 17),
                            donate_argnums=(1, 2))
         def prefill(params, cache, state, tap_state, pk, pv, embs, true_len,
-                    slot_ids, nw, mw, scale, temp, topp, seed, *,
+                    slot_ids, nw, mw, scale, temp, topp, seed,
                     pfx, plen, nreq):
             # Suffix prefill at static offset pfx: embs (R, P, E) are the
             # SUFFIX rows; pk/pv (L, 1, pfx, H, Dh) the shared prefix's
@@ -538,9 +538,9 @@ class GillDecodeEngine:
         max_runs = self.max_runs
         final_tap, tap_layer = self.final_tap, self.tap_layer
 
-        @functools.partial(jax.jit, static_argnames=("kv_hi",),
+        @functools.partial(jax.jit, static_argnums=(4,),
                            donate_argnums=(1, 2))
-        def run_chunk(params, cache, state, tap_state, *, kv_hi):
+        def run_chunk(params, cache, state, tap_state, kv_hi):
             head = params["embed_tokens"]["weight"]
             B = state["tok"].shape[0]
             rows = jnp.arange(B)
@@ -727,7 +727,7 @@ class GillDecodeEngine:
                 jnp.asarray(embs),
                 jnp.asarray(lens), jnp.asarray(slot_ids), jnp.asarray(nw),
                 jnp.asarray(mw), jnp.asarray(scale), jnp.asarray(temp),
-                jnp.asarray(topp), jnp.asarray(seed), plen=pb, nreq=nreq)
+                jnp.asarray(topp), jnp.asarray(seed), pb, nreq)
         else:
             self.cache, self._dstate, self._dtap = self._prefill_prefix_fn(
                 self.params, self.cache, self._dstate, self._dtap,
@@ -735,7 +735,7 @@ class GillDecodeEngine:
                 jnp.asarray(lens), jnp.asarray(slot_ids), jnp.asarray(nw),
                 jnp.asarray(mw), jnp.asarray(scale), jnp.asarray(temp),
                 jnp.asarray(topp), jnp.asarray(seed),
-                pfx=pfx["n"], plen=pb, nreq=nreq)
+                pfx["n"], pb, nreq)
             self.stats["prefix_hits"] += len(wave)
             self.stats["prefix_tokens_saved"] += pfx["n"] * len(wave)
         self.stats["prefills"] += 1
@@ -812,7 +812,7 @@ class GillDecodeEngine:
         else:
             kv_hi = self.max_seq
         out = self._chunk_fn(self.params, self.cache, self._dstate,
-                             self._dtap, kv_hi=kv_hi)
+                             self._dtap, kv_hi)
         self.cache, self._dstate, self._dtap = out[0], out[1], out[2]
         self.stats["chunks"] += 1
         self.stats["decode_steps"] += self.chunk

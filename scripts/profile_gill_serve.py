@@ -63,14 +63,14 @@ st["nw"] = jnp.full((SLOTS,), 10_000, jnp.int32)
 eng._dstate = st
 for _ in range(2):
     out = eng._chunk_fn(eng.params, eng.cache, eng._dstate, eng._dtap,
-                        kv_hi=eng.max_seq)
+                        eng.max_seq)
     eng.cache, eng._dstate, eng._dtap = out[0], out[1], out[2]
     jax.block_until_ready(out[3])
 t0 = time.perf_counter()
 N = 5
 for _ in range(N):
     out = eng._chunk_fn(eng.params, eng.cache, eng._dstate, eng._dtap,
-                        kv_hi=eng.max_seq)
+                        eng.max_seq)
     eng.cache, eng._dstate, eng._dtap = out[0], out[1], out[2]
 jax.block_until_ready(out[3])
 dt = (time.perf_counter() - t0) / N
@@ -87,7 +87,7 @@ for _ in range(3):
         jnp.full((16,), eng.slots, jnp.int32), jnp.ones((16,), jnp.int32),
         jnp.zeros((16,), jnp.int32), jnp.ones((16,), jnp.float32),
         jnp.zeros((16,), jnp.float32), jnp.ones((16,), jnp.float32),
-        jnp.zeros((16,), jnp.int32), plen=256, nreq=16)
+        jnp.zeros((16,), jnp.int32), 256, 16)
     jax.block_until_ready(eng._dstate["pos"])
 dt = (time.perf_counter() - t0) / 3
 print(f"gill prefill wave (16x256): {dt*1e3:.1f} ms", flush=True)
@@ -112,12 +112,12 @@ peng._dstate = {"pos": jnp.full((SLOTS,), 300, jnp.int32),
                 "limit": jnp.full((SLOTS,), 511, jnp.int32)}
 for _ in range(2):
     peng.cache, peng._dstate, toks = peng._chunk_fn(
-        peng.params, peng.cache, peng._dstate, kv_hi=peng.max_seq)
+        peng.params, peng.cache, peng._dstate, peng.max_seq)
     jax.block_until_ready(toks)
 t0 = time.perf_counter()
 for _ in range(N):
     peng.cache, peng._dstate, toks = peng._chunk_fn(
-        peng.params, peng.cache, peng._dstate, kv_hi=peng.max_seq)
+        peng.params, peng.cache, peng._dstate, peng.max_seq)
 jax.block_until_ready(toks)
 dt = (time.perf_counter() - t0) / N
 print(f"plain chunk ({CHUNK} steps): {dt*1e3:.1f} ms -> "

@@ -148,7 +148,7 @@ def main():
               flush=True)
     if phase in ("perf", "all") and report.get("tiny_token_match", True):
         seqs = tuple(int(s) for s in os.environ.get(
-            "PROBE_SEQS", "512,1024,2048").split(","))
+            "PROBE_SEQS", "512,1024").split(","))
         kv8 = os.environ.get("PROBE_KV8", "0") == "1"
         for max_seq in seqs:
             ent = {}

@@ -59,12 +59,12 @@ state = {"pos": jnp.asarray(np.full(SLOTS, 300, np.int32)),
          "active": jnp.asarray(np.ones(SLOTS, bool)),
          "limit": jnp.asarray(np.full(SLOTS, 511, np.int32))}
 cache = opt_mod.init_cache(cfg, SLOTS, 512, dtype=jnp.bfloat16)
-c, state, toks = eng._chunk_fn(eng.params, cache, state, kv_hi=eng.max_seq)
+c, state, toks = eng._chunk_fn(eng.params, cache, state, eng.max_seq)
 jax.block_until_ready(toks)
 N = 8
 t0 = time.perf_counter()
 for _ in range(N):
-    c, state, toks = eng._chunk_fn(eng.params, c, state, kv_hi=eng.max_seq)
+    c, state, toks = eng._chunk_fn(eng.params, c, state, eng.max_seq)
 jax.block_until_ready(toks)
 dt = (time.perf_counter() - t0) / N
 print(f"chunk({CHUNK} steps, {SLOTS} slots): {dt*1e3:.1f} ms "

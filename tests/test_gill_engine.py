@@ -409,3 +409,4 @@ def test_gill_engine_kv_read_buckets_match_full_read(core_params):
     assert any_img, "test must exercise at least one [IMG] run"
     assert bkt.stats["kv_rows_read"] < bkt.stats["chunks"] * bkt.max_seq, \
         bkt.stats
+
